@@ -1,0 +1,92 @@
+"""Deterministic image codec (PIL-free container stand-in).
+
+The north-star input table carries images as opaque ``bytes`` with a ``fmt``
+column ('png' = lossless, 'jpeg' = lossy).  Real PNG/JPEG libraries are not
+in this container, so the engine ships its own deterministic codec with the
+SAME invariant surface the spec demands (BASELINE.json input_hint):
+
+- fmt='png'  → zlib-compressed raw RGB; decode is **bitwise** exact.
+- fmt='jpeg' → quantized (step=2) + zlib; decode is lossy with
+  **PSNR ≥ 40 dB** guaranteed (uniform quantization error ≤ 1 LSB →
+  MSE ≤ 1/3 → PSNR ≥ 10·log10(255²·3) ≈ 53 dB).
+
+Container layout (little-endian): magic ``b'EFR1'`` | fmt u8 (0=png,1=jpeg)
+| h u16 | w u16 | zlib(payload).  The codec is the pluggable seam where a
+real image library would slot in (see stages/decode.py).
+
+Reference analog: WFDB/.mat signal loading + ADC-gain normalization
+(/root/reference/resample.py:10-52, extract_HRV.py:29-33).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"EFR1"
+_FMT_CODE = {"png": 0, "jpeg": 1}
+_FMT_NAME = {0: "png", 1: "jpeg"}
+JPEG_QUANT_STEP = 2
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 array. 'png' lossless, 'jpeg' lossy (quantized)."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3 and pixels.shape[2] == 3
+    h, w, _ = pixels.shape
+    if fmt == "jpeg":
+        q = JPEG_QUANT_STEP
+        payload = ((pixels.astype(np.int32) // q) * q + q // 2).clip(0, 255).astype(np.uint8)
+    elif fmt == "png":
+        payload = pixels
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    header = MAGIC + struct.pack("<BHH", _FMT_CODE[fmt], h, w)
+    return header + zlib.compress(payload.tobytes(), level=1)
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode container bytes → ((h, w, 3) uint8 pixels, fmt name)."""
+    if data[:4] != MAGIC:
+        raise ValueError("bad magic — not an EFR1 container")
+    code, h, w = struct.unpack("<BHH", data[4:9])
+    raw = zlib.decompress(data[9:])
+    pixels = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    return pixels, _FMT_NAME[code]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def mean_luminance(pixels: np.ndarray) -> float:
+    """Derived scalar channel v = mean(pixels)/255 — the stand-in 'signal value'
+    every reference statistic replays over (FIXTURES.md F1)."""
+    return float(pixels.mean() / 255.0)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual-hash stand-in: 8×8 mean-threshold bitmap of the
+    downsampled grayscale image (aHash — public algorithm)."""
+    g = pixels.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    g = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (g > g.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | b
+    return int(val.astype(np.int64))  # signed int64 for the Arrow column
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (multimodal transform stage)."""
+    h, w, _ = pixels.shape
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[ri][:, ci]

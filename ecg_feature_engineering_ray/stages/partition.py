@@ -1,0 +1,152 @@
+"""Entity-bucket partitioning — the engine's single shuffle spine.
+
+Every per-entity ordered computation (lag/lead, sessionize, rolling windows,
+grouped aggregates, as-of join) reuses ONE partitioning scheme so the data is
+shuffled once and processed many times:
+
+    bucket = stable_hash(entity_key) % num_buckets        (normal keys)
+    bucket = num_buckets + rank(hot_key)                  (detected hot keys)
+
+``num_buckets`` scales with the cluster (≈ 2-4 × total CPUs); each bucket is
+processed as ONE Arrow table by ``Dataset.groupby("__bucket").map_groups``,
+inside which everything is vectorized numpy over entity segments.  A bucket
+must fit in a worker's heap: at 100 TB input project the shuffled columns
+down to the key + order + value columns first (images' ``bytes`` never enter
+the shuffle — see pipelines.flagship).
+
+Hot-key (skew) handling: the reference has no analog (its skew is "the
+longest ECG record just takes longer", SURVEY.md §4).  Here a sampled
+partial-count pre-pass finds entities holding more than ``hot_frac`` of all
+rows and routes each to a DEDICATED bucket.  Order statistics (percentiles,
+sample entropy) are not mergeable across salted sub-splits, so a hot entity
+is isolated rather than split; mergeable aggregates may additionally use
+salted partial aggregation (see stages.window.partial_agg).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..functions.hashing import bucket_of_ints, bucket_of_strings
+
+BUCKET_COL = "__bucket"
+
+
+def _bucket_ids(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        return bucket_of_ints(np.asarray(col.combine_chunks()).astype(np.int64), num_buckets)
+    return bucket_of_strings(col.combine_chunks(), num_buckets)
+
+
+def with_bucket(
+    ds: Dataset,
+    key: str,
+    num_buckets: int,
+    hot_keys: list | None = None,
+) -> Dataset:
+    """Append an int32 ``__bucket`` column keyed by ``key``.
+
+    ``hot_keys`` (optional, from :func:`detect_hot_keys`) each get their own
+    bucket id ``num_buckets + i`` so one skewed entity cannot straggle a
+    shared bucket.
+    """
+    hot = {k: num_buckets + i for i, k in enumerate(hot_keys)} if hot_keys else None
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        ids = _bucket_ids(col, num_buckets)
+        if hot:
+            vals = col.to_pylist()
+            for i, v in enumerate(vals):
+                b = hot.get(v)
+                if b is not None:
+                    ids[i] = b
+        return batch.append_column(BUCKET_COL, pa.array(ids, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def detect_hot_keys(ds: Dataset, key: str, hot_frac: float = 0.05, max_keys: int = 64) -> list:
+    """Find entity keys holding more than ``hot_frac`` of all rows.
+
+    Two-phase, shuffle-free on the big side: per-batch partial value counts
+    (only counts that could matter survive), then a tiny driver-side merge.
+    At 10^12 rows the surviving partials are O(batches × heavy keys), not
+    O(rows).
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column(key).combine_chunks()
+        vc = col.value_counts()
+        return pa.table({key: vc.field("values"), "__cnt": vc.field("counts")})
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+    # The partials stream is tiny relative to input (uniques per batch);
+    # merge on the driver without any shuffle of the big side.
+    merged: dict = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b.column(key).to_pylist(), b.column("__cnt").to_pylist()):
+            merged[v] = merged.get(v, 0) + c
+    total = sum(merged.values())
+    if total == 0:
+        return []
+    hot = [(v, c) for v, c in merged.items() if c >= hot_frac * total]
+    hot.sort(key=lambda t: -t[1])
+    return [v for v, _ in hot[:max_keys]]
+
+
+def grouped_sorted_apply(
+    ds: Dataset,
+    key: str,
+    order_by: list[str],
+    fn: Callable[[pa.Table], pa.Table],
+    num_buckets: int,
+    hot_keys: list | None = None,
+    **map_groups_kwargs,
+) -> Dataset:
+    """THE core primitive: hash-bucket by entity, sort each bucket, apply.
+
+    ``fn`` receives one Arrow table per bucket, already sorted by
+    ``[key, *order_by]``, with ``__bucket`` removed, and with the guarantee
+    that every row of an entity is in the same table in order.  It returns an
+    Arrow table (any schema — aggregates, window columns, exploded rows).
+    """
+    bucketed = with_bucket(ds, key, num_buckets, hot_keys=hot_keys)
+    sort_keys = [key] + list(order_by)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([BUCKET_COL]).combine_chunks()
+        group = group.sort_by([(c, "ascending") for c in sort_keys])
+        return fn(group)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        per_bucket, batch_format="pyarrow", **map_groups_kwargs
+    )
+
+
+def entity_segments(tbl: pa.Table, key: str) -> tuple[np.ndarray, np.ndarray]:
+    """Segment offsets of a table sorted by ``key``.
+
+    Returns ``(starts, ends)`` index arrays such that rows
+    ``starts[i]:ends[i]`` are entity i's rows.  Vectorized — no Python loop
+    over rows.
+    """
+    if tbl.num_rows == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    col = tbl.column(key).combine_chunks()
+    if pa.types.is_integer(col.type) or pa.types.is_timestamp(col.type):
+        vals = np.asarray(col.cast(pa.int64()))
+        change = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+    else:
+        d = col.dictionary_encode()
+        idx = np.asarray(d.indices)
+        change = np.flatnonzero(idx[1:] != idx[:-1]) + 1
+    starts = np.concatenate(([0], change)).astype(np.int64)
+    ends = np.concatenate((change, [tbl.num_rows])).astype(np.int64)
+    return starts, ends

@@ -1,0 +1,97 @@
+"""Window/lag-lead/sessionization kernels vs independent pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ecg_feature_engineering_ray.stages.partition import entity_segments
+from ecg_feature_engineering_ray.stages.session import add_session_ids, session_segments
+from ecg_feature_engineering_ray.stages.window import (
+    _row_entity_start,
+    add_lag_lead,
+    count_based_windows,
+    fixed_windows,
+    lag_column,
+    rolling_mean,
+)
+
+
+def _toy():
+    df = pd.DataFrame(
+        {
+            "e": ["a"] * 5 + ["b"] * 3,
+            "ts": [0, 10, 25, 70, 71, 5, 6, 50],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0, 30.0],
+        }
+    )
+    return pa.Table.from_pandas(df.sort_values(["e", "ts"]), preserve_index=False)
+
+
+def test_entity_segments():
+    t = _toy()
+    starts, ends = entity_segments(t, "e")
+    assert starts.tolist() == [0, 5]
+    assert ends.tolist() == [5, 8]
+
+
+def test_lag_respects_entity_boundary():
+    t = _toy()
+    rs = _row_entity_start(t, "e")
+    v = np.asarray(t.column("v").combine_chunks())
+    lag1 = lag_column(v, rs, 1)
+    # first row of entity b must NOT see entity a's last value
+    assert np.isnan(lag1[5])
+    assert lag1[1] == 1.0 and lag1[6] == 10.0
+
+
+def test_add_lag_lead_matches_pandas():
+    t = _toy()
+    out = add_lag_lead(t, "e", {"v_lag1": ("v", 1), "v_lead1": ("v", -1), "ts_lag1": ("ts", 1)})
+    df = t.to_pandas()
+    want_lag = df.groupby("e")["v"].shift(1).values
+    want_lead = df.groupby("e")["v"].shift(-1).values
+    got_lag = np.asarray(out.column("v_lag1").combine_chunks())
+    got_lead = np.asarray(out.column("v_lead1").combine_chunks())
+    assert np.allclose(got_lag, want_lag, equal_nan=True)
+    assert np.allclose(got_lead, want_lead, equal_nan=True)
+
+
+def test_rolling_mean_matches_pandas():
+    t = _toy()
+    rs = _row_entity_start(t, "e")
+    v = np.asarray(t.column("v").combine_chunks())
+    got = rolling_mean(v, rs, 3)
+    df = t.to_pandas()
+    want = df.groupby("e")["v"].rolling(3, min_periods=1).mean().reset_index(level=0, drop=True).values
+    assert np.allclose(got, want)
+
+
+def test_sessionize_gap():
+    df = pd.DataFrame(
+        {
+            "e": ["a"] * 4 + ["b"] * 2,
+            "ts": pd.to_datetime([0, 10, 100, 110, 0, 5], unit="s"),
+        }
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False).set_column(
+        1, "ts", pa.Table.from_pandas(df, preserve_index=False).column("ts").cast(pa.timestamp("us"))
+    )
+    out = add_session_ids(t, "e", gap_us=30_000_000)
+    sids = out.column("session_id").to_pylist()
+    assert sids == [0, 0, 1, 1, 0, 0]
+    starts, ends = session_segments(t, "e", gap_us=30_000_000)
+    assert starts.tolist() == [0, 2, 4]
+    assert ends.tolist() == [2, 4, 6]
+
+
+def test_fixed_windows_policies():
+    assert fixed_windows(10, 4, 2) == [(0, 0, 4), (1, 2, 6), (2, 4, 8), (3, 6, 10), (4, 8, 10)]
+    assert fixed_windows(9, 4, 2)[-1] == (3, 6, 9)  # partial tail kept
+    assert fixed_windows(9, 4, 2, policy="drop")[-1] == (2, 4, 8)
+
+
+def test_count_based_windows():
+    w = count_based_windows(100, 5, 40)
+    assert len(w) == 5
+    assert w[0] == (0, 0, 40)
+    assert w[-1][2] <= 100 + 40
