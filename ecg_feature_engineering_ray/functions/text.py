@@ -1,0 +1,139 @@
+"""Text-analysis kernels for the documents table (training-data pipeline ops).
+
+Deduplication fingerprints (exact md5, MinHash, SimHash, shingles), token
+statistics, a stopword language-ID heuristic and a quality score.  All
+hashes are md5-derived so the DuckDB oracle (``md5()``) can reproduce the
+SQL-expressible ones exactly; tokenization is a plain single-space split to
+match ``string_split(text, ' ')``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .hashing import md5_hex, md5_u64
+
+
+def tokens(text: str) -> list[str]:
+    """Split on single spaces — EXACTLY DuckDB ``string_split(text, ' ')``."""
+    return text.split(" ")
+
+
+def token_count(text: str) -> int:
+    return len(tokens(text))
+
+
+def fingerprint_md5(text: str) -> str:
+    """Exact-dedup fingerprint (oracle: ``md5(text)``)."""
+    return md5_hex(text)
+
+
+def minhash_signature(text: str, num_perm: int = 8) -> list[str]:
+    """MinHash signature: per permutation i, min over tokens of md5(i||'|'||token).
+
+    Oracle-reproducible: ``min(md5(concat(i, '|', t)))`` per doc in SQL.
+    Duplicate tokens don't affect the min → true set semantics.
+    """
+    toks = set(tokens(text))
+    sig = []
+    for i in range(num_perm):
+        sig.append(min(md5_hex(f"{i}|{t}") for t in toks) if toks else "")
+    return sig
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over tokens (md5-based), signed int64 for Arrow."""
+    toks = tokens(text)
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = md5_u64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    val = np.uint64(0)
+    for b in (acc > 0).astype(np.uint64):
+        val = np.uint64(val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def char_ngrams(text: str, n: int = 5) -> set[str]:
+    """Character shingles (n-gram Jaccard dedup unit)."""
+    if len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> list[int]:
+    """Winnowing-style document fingerprint: rolling-hash windows, keep hashes
+    ≡ 0 (mod keep_mod).  Reference analog: none (training-data extension)."""
+    if len(text) < window:
+        return [md5_u64(text) % (1 << 32)] if text else []
+    out = []
+    for i in range(len(text) - window + 1):
+        h = md5_u64(text[i : i + window]) % (1 << 32)
+        if h % keep_mod == 0:
+            out.append(h)
+    return sorted(set(out))
+
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"},
+    "fr": {"le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"},
+    "es": {"el", "la", "los", "de", "y", "es", "un", "una", "que", "por"},
+}
+
+
+def lang_id(text: str) -> str:
+    """Stopword-ratio language heuristic → best of {en,de,fr,es} or 'und'."""
+    toks = [t.lower() for t in tokens(text)]
+    if not toks:
+        return "und"
+    best, best_score = "und", 0.0
+    for lang, sw in _STOPWORDS.items():
+        score = sum(1 for t in toks if t in sw) / len(toks)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0.0 else "und"
+
+
+def quality_score(text: str) -> float:
+    """Heuristic quality in [0,1]: length band, mean word length band,
+    alpha ratio (C4/Gopher-style public heuristics, simplified)."""
+    if not text:
+        return 0.0
+    toks = [t for t in tokens(text) if t]
+    if not toks:
+        return 0.0
+    n_chars = len(text)
+    mean_wl = np.mean([len(t) for t in toks])
+    alpha_ratio = sum(c.isalpha() or c == " " for c in text) / n_chars
+    s = 0.0
+    s += 0.4 if 50 <= n_chars <= 100_000 else 0.1
+    s += 0.3 if 3 <= mean_wl <= 12 else 0.05
+    s += 0.3 * alpha_ratio
+    return float(round(min(s, 1.0), 6))
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Sub-word-ish token estimate: whitespace tokens + extra tokens for long
+    words (every 4 chars beyond 8 starts a new piece) — a deterministic,
+    vocabulary-free stand-in for BPE counting."""
+    n = 0
+    for t in tokens(text):
+        n += 1 + max(0, (len(t) - 8) + 3) // 4 if len(t) > 8 else 1
+    return n

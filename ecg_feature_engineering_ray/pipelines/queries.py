@@ -1,0 +1,1080 @@
+"""Driver-gate query battery: Ray pipelines + matching DuckDB oracle SQL.
+
+Every SURVEY.md §2 operator family has at least one entry here; each entry is
+a callable ``fn(sf_dir) -> Dataset | pa.Table | pd.DataFrame`` plus (when
+SQL-expressible) an ANSI-SQL string producing the SAME column names and
+values on the same parquet tables.  Float outputs are rounded half-away-from-
+zero to 6 decimals on BOTH sides so value-hashes compare.
+
+Registry:  ``QUERIES`` / ``ORACLE`` — consumed by ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions import text as T
+from ..functions.stats import percentiles
+from ..sources.readers import read_table
+from ..stages.asof import asof_join
+from ..stages.groupagg import global_agg, grouped_agg
+from ..stages.joins import broadcast_join
+from ..stages.partition import entity_segments, grouped_sorted_apply
+from ..stages.session import session_segments
+from ..stages.window import _row_entity_start, _row_entity_end, lag_column, lead_column, rolling_mean, prefix_mean
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE: dict[str, str] = {}
+
+NB = 16  # bucket count for test-scale runs (∝ CPUs in production)
+SESSION_GAP_S = 3600
+SKIPLIST = list(range(1, 35))  # ≙ index2del (preprocess-300hz.py:93-95)
+
+
+def rnd(x: np.ndarray | float, nd: int = 6):
+    """Round half-away-from-zero — matches DuckDB/SQL ROUND semantics
+    (numpy's round is half-even, which would diverge on exact ties)."""
+    return np.copysign(np.floor(np.abs(x) * 10.0**nd + 0.5) / 10.0**nd, x)
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _events(sf_dir: str, cols: list[str]):
+    return read_table(sf_dir, "events", columns=cols)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 grouped per-entity statistics over the event stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_value_stats",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           ROUND(avg(ROUND(value * 100)) / 100, 6) AS mean_value,
+           ROUND(stddev_samp(value), 6) AS std_value,
+           ROUND(min(value), 6) AS min_value,
+           ROUND(max(value), 6) AS max_value,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25_value,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_value_stats(sf_dir: str):
+    """A1/A2 analog: order statistics per entity (HRV_features.py:92-153,
+    LONG_features.py:35-104) — exact percentiles need entity-local data, so
+    this runs on the bucket spine, one shuffle."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "user_id")
+        users = np.asarray(tbl.column("user_id").combine_chunks())
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        rows = []
+        for s, e in zip(starts, ends):
+            x = v[s:e]
+            q = percentiles(x, [25, 50, 75])
+            # mean over integer cents: order-independent exact sum → the
+            # rounded result is bit-identical to the SQL oracle's
+            mean_c = np.rint(x * 100).mean() / 100
+            rows.append(
+                (int(users[s]), e - s, mean_c, x.std(ddof=1) if x.size > 1 else np.nan,
+                 x.min(), x.max(), q[1], q[0], q[2])
+            )
+        arr = list(zip(*rows)) if rows else [[]] * 9
+        return pa.table(
+            {
+                "user_id": pa.array(arr[0], pa.int64()),
+                "n_events": pa.array(arr[1], pa.int64()),
+                "mean_value": pa.array(rnd(np.array(arr[2], dtype=np.float64))),
+                "std_value": pa.array(rnd(np.array(arr[3], dtype=np.float64))),
+                "min_value": pa.array(rnd(np.array(arr[4], dtype=np.float64))),
+                "max_value": pa.array(rnd(np.array(arr[5], dtype=np.float64))),
+                "median_value": pa.array(rnd(np.array(arr[6], dtype=np.float64))),
+                "p25_value": pa.array(rnd(np.array(arr[7], dtype=np.float64))),
+                "p75_value": pa.array(rnd(np.array(arr[8], dtype=np.float64))),
+            }
+        )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+# lag-diff chain ≙ RR/dRR intervals (HRV_features.py:106-107).
+# Integer-microsecond arithmetic end-to-end: sums of exact int64 are
+# order-independent in float64, so Ray and DuckDB produce bit-identical
+# means before the final ROUND (float-tie robustness).
+RR_SQL = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt_us
+  FROM events
+), d2 AS (
+  SELECT user_id, ts, event_id, dt_us,
+         dt_us - lag(dt_us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ddt_us
+  FROM d
+)
+SELECT user_id,
+       count(dt_us) AS n_intervals,
+       ROUND(avg(dt_us) / 1e6, 6) AS mean_dt_s,
+       ROUND(stddev_samp(dt_us) / 1e6, 6) AS sdnn_s,
+       ROUND(min(dt_us) / 1e6, 6) AS min_dt_s,
+       ROUND(max(dt_us) / 1e6, 6) AS max_dt_s,
+       ROUND(sqrt(avg(CAST(ddt_us AS DOUBLE) * CAST(ddt_us AS DOUBLE))) / 1e6, 6) AS rmssd_s,
+       ROUND(CAST(count(*) FILTER (WHERE abs(ddt_us) > 60000000) AS DOUBLE)
+             / NULLIF(count(ddt_us), 0), 6) AS pnn60
+FROM d2 GROUP BY user_id
+"""
+
+
+def _rr_interval_stats(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "user_id")
+        users = np.asarray(tbl.column("user_id").combine_chunks())
+        ts_us = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        rows = []
+        for s, e in zip(starts, ends):
+            dt = np.diff(ts_us[s:e]).astype(np.float64)  # exact int64 → float64
+            ddt = np.diff(dt)
+            n = dt.size
+            rows.append(
+                (int(users[s]), n,
+                 dt.mean() / 1e6 if n else np.nan,
+                 dt.std(ddof=1) / 1e6 if n > 1 else np.nan,
+                 dt.min() / 1e6 if n else np.nan,
+                 dt.max() / 1e6 if n else np.nan,
+                 np.sqrt(np.mean(ddt**2)) / 1e6 if ddt.size else np.nan,
+                 float(np.count_nonzero(np.abs(ddt) > 60e6)) / ddt.size if ddt.size else np.nan)
+            )
+        arr = list(zip(*rows)) if rows else [[]] * 8
+        names = ["user_id", "n_intervals", "mean_dt_s", "sdnn_s", "min_dt_s", "max_dt_s", "rmssd_s", "pnn60"]
+        cols: dict[str, pa.Array] = {
+            "user_id": pa.array(arr[0], pa.int64()),
+            "n_intervals": pa.array(arr[1], pa.int64()),
+        }
+        for i, nm in enumerate(names[2:], start=2):
+            cols[nm] = pa.array(rnd(np.array(arr[i], dtype=np.float64)))
+        return pa.table(cols)
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+QUERIES["rr_interval_stats"] = _rr_interval_stats
+ORACLE["rr_interval_stats"] = RR_SQL
+
+
+# ---------------------------------------------------------------------------
+# §2.3 sessionization (E6)
+# ---------------------------------------------------------------------------
+
+SESSION_SQL_CTE = f"""
+WITH flags AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_S} OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flags
+)
+"""
+
+
+@register(
+    "session_table",
+    SESSION_SQL_CTE
+    + """
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           ROUND(sum(ROUND(value * 100)) / 100, 6) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def session_table(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = session_segments(tbl, "user_id", "ts", gap_us=SESSION_GAP_S * 1_000_000)
+        users = np.asarray(tbl.column("user_id").combine_chunks())
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        estarts, _ = entity_segments(tbl, "user_id")
+        entity_first = {int(users[s]): s for s in estarts}
+        uid, sid, n_ev, t0, t1, sv = [], [], [], [], [], []
+        cur_user, cur_sid = None, -1
+        for s, e in zip(starts, ends):
+            u = int(users[s])
+            if u != cur_user:
+                cur_user, cur_sid = u, 0
+            else:
+                cur_sid += 1
+            uid.append(u)
+            sid.append(cur_sid)
+            n_ev.append(e - s)
+            t0.append(int(ts[s]))
+            t1.append(int(ts[e - 1]))
+            sv.append(v[s:e].sum())
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "n_events": pa.array(n_ev, pa.int64()),
+                "session_start": pa.array(t0, pa.timestamp("us")),
+                "session_end": pa.array(t1, pa.timestamp("us")),
+                "sum_value": pa.array(rnd(np.array(sv, dtype=np.float64))),
+            }
+        )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "session_stats",
+    SESSION_SQL_CTE
+    + """
+    , per_sess AS (
+      SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           max(n) AS max_session_events,
+           ROUND(avg(n), 6) AS mean_session_events
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def session_stats(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = session_segments(tbl, "user_id", "ts", gap_us=SESSION_GAP_S * 1_000_000)
+        users = np.asarray(tbl.column("user_id").combine_chunks())
+        su = users[starts]
+        lens = ends - starts
+        uid, nses, mx, mean = [], [], [], []
+        for u in np.unique(su):
+            m = su == u
+            uid.append(int(u))
+            nses.append(int(m.sum()))
+            mx.append(int(lens[m].max()))
+            mean.append(float(lens[m].mean()))
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "n_sessions": pa.array(nses, pa.int64()),
+                "max_session_events": pa.array(mx, pa.int64()),
+                "mean_session_events": pa.array(rnd(np.array(mean, dtype=np.float64))),
+            }
+        )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 as-of (point-in-time) join — J3, the flagship
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_error_features",
+    """
+    SELECT q.event_id,
+           count(e.ts) AS n_prior,
+           ROUND(avg(ROUND(e.value * 100)) / 100, 6) AS mean_prior_value,
+           ROUND(arg_max(e.value, e.ts), 6) AS last_prior_value,
+           ROUND(max(e.value), 6) AS max_prior_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') q
+    LEFT JOIN (SELECT * FROM events WHERE event_type <> 'error') e
+      ON e.user_id = q.user_id AND e.ts <= q.ts
+    GROUP BY q.event_id
+    """,
+)
+def asof_error_features(sf_dir: str):
+    """Point-in-time features of each 'error' event over the user's prior
+    non-error history — zero temporal leakage (J3)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type", "value"])
+    left = ds.filter(expr="event_type == 'error'").select_columns(["user_id", "ts", "event_id"])
+    right = ds.filter(expr="event_type != 'error'").select_columns(["user_id", "ts", "value"])
+    # integer-cents column so the prefix-mean is an exact-integer sum (see RR_SQL note)
+    right = right.map_batches(
+        lambda b: b.append_column(
+            "value_c", pa.array(np.rint(np.asarray(b.column("value").combine_chunks()) * 100))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        aggs={
+            "n_prior": ("value_c", "count"),
+            "mean_prior_c": ("value_c", "mean"),
+            "last_prior_value": ("value", "last"),
+            "max_prior_value": ("value", "max"),
+        },
+        left_cols=["event_id"], num_buckets=NB,
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        def r6(col):
+            v = np.asarray(col.combine_chunks().fill_null(np.nan), dtype=np.float64)
+            return pa.array(rnd(v), pa.float64())
+
+        mean_c = np.asarray(batch.column("mean_prior_c").combine_chunks().fill_null(np.nan), dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "n_prior": batch.column("n_prior"),
+                "mean_prior_value": pa.array(rnd(mean_c / 100), pa.float64()),
+                "last_prior_value": r6(batch.column("last_prior_value")),
+                "max_prior_value": r6(batch.column("max_prior_value")),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "asof_last_purchase",
+    """
+    SELECT q.event_id, e.ts AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') q
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') e
+      ON q.user_id = e.user_id AND e.ts <= q.ts
+    """,
+)
+def asof_last_purchase(sf_dir: str):
+    """Native last-event-before semantics (DuckDB ASOF JOIN as oracle)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    left = ds.filter(expr="event_type == 'error'").select_columns(["user_id", "ts", "event_id"])
+    right = ds.filter(expr="event_type == 'purchase'").select_columns(["user_id", "ts"])
+    right = right.map_batches(
+        lambda b: b.append_column("ev_ts", b.column("ts")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        aggs={"last_purchase_ts": ("ev_ts", "last")},
+        left_cols=["event_id"], num_buckets=NB,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "last_purchase_ts": b.column("last_purchase_ts").cast(pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 E8 lag/lead + rolling windows (per-row outputs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "lag_lead_row",
+    """
+    SELECT event_id,
+           ROUND(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS v_lag1,
+           ROUND(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS v_lead1,
+           ROUND((epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 / 1e6, 6) AS dt_prev_s
+    FROM events
+    """,
+)
+def lag_lead_row(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        rs = _row_entity_start(tbl, "user_id")
+        re_ = _row_entity_end(tbl, "user_id")
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        ts_us = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks()).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "v_lag1": pa.array(rnd(lag_column(v, rs, 1))),
+                "v_lead1": pa.array(rnd(lead_column(v, rs, re_, 1))),
+                "dt_prev_s": pa.array(rnd((ts_us - lag_column(ts_us, rs, 1)) / 1e6)),
+            }
+        )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "rolling_mean3",
+    """
+    SELECT event_id,
+           ROUND(avg(ROUND(value * 100)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100, 6) AS rmean3
+    FROM events
+    """,
+)
+def rolling_mean3(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        rs = _row_entity_start(tbl, "user_id")
+        v = np.rint(np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64) * 100)
+        return pa.table(
+            {"event_id": tbl.column("event_id"), "rmean3": pa.array(rnd(rolling_mean(v, rs, 3) / 100))}
+        )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "running_mean",
+    """
+    SELECT event_id,
+           ROUND(avg(ROUND(value * 100)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) / 100, 6) AS run_mean
+    FROM events
+    """,
+)
+def running_mean(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        rs = _row_entity_start(tbl, "user_id")
+        v = np.rint(np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64) * 100)
+        return pa.table(
+            {"event_id": tbl.column("event_id"), "run_mean": pa.array(rnd(prefix_mean(v, rs) / 100))}
+        )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "zero_cross_count",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             value - avg(value) OVER (PARTITION BY user_id) AS cv
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             CASE WHEN cv > 0 THEN 1 WHEN cv < 0 THEN -1 ELSE 0 END AS sg,
+             lag(CASE WHEN cv > 0 THEN 1 WHEN cv < 0 THEN -1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ps
+      FROM c
+    )
+    SELECT user_id, count(*) FILTER (WHERE sg * ps < 0) AS n_cross
+    FROM s GROUP BY user_id
+    """,
+)
+def zero_cross_count(sf_dir: str):
+    """A3 analog (LongZeroCrossing, LONG_features.py:107-119) about the mean."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "user_id")
+        users = np.asarray(tbl.column("user_id").combine_chunks())
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        uid, nc = [], []
+        for s, e in zip(starts, ends):
+            x = v[s:e] - v[s:e].mean()
+            sg = np.sign(x)
+            uid.append(int(users[s]))
+            nc.append(int(np.count_nonzero(sg[1:] * sg[:-1] < 0)))
+        return pa.table({"user_id": pa.array(uid, pa.int64()), "n_cross": pa.array(nc, pa.int64())})
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A27/A28 counts, §2.6 sort/limit/top-k, global aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_type_counts",
+    """
+    SELECT event_type, count(*) AS n, ROUND(sum(ROUND(value * 100)) / 100, 6) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_counts(sf_dir: str):
+    ds = _events(sf_dir, ["event_type", "value"])
+    return grouped_agg(ds, ["event_type"], {"n": ("*", "count"), "sum_value": ("value", "sum_cents")}, round_to=6)
+
+
+@register(
+    "top10_users_by_value",
+    """
+    SELECT user_id, ROUND(sum(ROUND(value * 100)) / 100, 6) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+)
+def top10_users_by_value(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "value"])
+    agg = grouped_agg(ds, ["user_id"], {"total_value": ("value", "sum_cents")}, round_to=6)
+    return agg.sort([("total_value"), ("user_id")], descending=[True, False]).limit(10)
+
+
+@register(
+    "distinct_types_per_user",
+    "SELECT user_id, count(DISTINCT event_type) AS n_types FROM events GROUP BY user_id",
+)
+def distinct_types_per_user(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return grouped_agg(ds, ["user_id"], {"n_types": ("event_type", "count_distinct")})
+
+
+@register(
+    "global_span",
+    "SELECT min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n FROM events",
+)
+def global_span(sf_dir: str):
+    """A26 analog: global scan aggregate (utils.py:43-56)."""
+    ds = _events(sf_dir, ["ts"])
+    tbl = global_agg(ds, {"min_ts": ("ts", "min"), "max_ts": ("ts", "max"), "n": ("ts", "count")})
+    return tbl.set_column(0, "min_ts", tbl.column("min_ts").cast(pa.timestamp("us"))).set_column(
+        1, "max_ts", tbl.column("max_ts").cast(pa.timestamp("us"))
+    )
+
+
+@register(
+    "skiplist_filter",
+    f"""
+    SELECT event_type, count(*) AS n FROM events
+    WHERE event_id NOT IN ({",".join(str(i) for i in SKIPLIST)})
+    GROUP BY event_type
+    """,
+)
+def skiplist_filter(sf_dir: str):
+    """J4 analog: anti-join against the index2del skip list
+    (preprocess-300hz.py:93-99)."""
+    ds = _events(sf_dir, ["event_id", "event_type"])
+    skip = pa.table({"event_id": pa.array(SKIPLIST, pa.int64())})
+    kept = broadcast_join(ds, skip, on="event_id", how="anti")
+    return grouped_agg(kept, ["event_type"], {"n": ("*", "count")})
+
+
+@register(
+    "first_event_per_user",
+    """
+    SELECT user_id, arg_min(event_id, ts) AS first_event_id, min(ts) AS first_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def first_event_per_user(sf_dir: str):
+    """O7 analog: exact dedup keep-first per key (hash-partition + per-group
+    first)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, _ = entity_segments(tbl, "user_id")
+        take = pa.array(starts)
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id").take(take),
+                "first_event_id": tbl.column("event_id").take(take),
+                "first_ts": tbl.column("ts").take(take),
+            }
+        )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style scans / joins (M-section, J1/J2, O4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(ROUND(l_quantity * 100)) / 100, 6) AS sum_qty,
+           ROUND(sum(ROUND(l_extendedprice * 100)) / 100, 6) AS sum_base_price,
+           ROUND(sum(ROUND(l_extendedprice * (1 - l_discount) * 10000)) / 10000, 6) AS sum_disc_price,
+           ROUND(avg(ROUND(l_quantity * 100)) / 100, 6) AS avg_qty,
+           ROUND(avg(ROUND(l_discount * 100)) / 100, 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped rollup with partial pre-aggregation."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("2001-09-01", "us")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = np.asarray(batch.column("l_shipdate").cast(pa.int64()).combine_chunks())
+        b = batch.filter(pa.array(ship <= cutoff.astype(np.int64)))
+        price = np.asarray(b.column("l_extendedprice").combine_chunks(), dtype=np.float64)
+        disc = np.asarray(b.column("l_discount").combine_chunks(), dtype=np.float64)
+        qty = np.asarray(b.column("l_quantity").combine_chunks(), dtype=np.float64)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                # integer-scaled intermediates: exact sums, order-independent
+                "qty_c": pa.array(np.rint(qty * 100)),
+                "price_c": pa.array(np.rint(price * 100)),
+                "disc_price_s": pa.array(np.rint(price * (1.0 - disc) * 10000)),
+                "disc_c": pa.array(np.rint(disc * 100)),
+            }
+        )
+
+    filtered = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(
+        filtered,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty_c": ("qty_c", "sum"),
+            "sum_price_c": ("price_c", "sum"),
+            "sum_disc_price_s": ("disc_price_s", "sum"),
+            "avg_qty_c": ("qty_c", "mean"),
+            "avg_disc_c": ("disc_c", "mean"),
+            "count_order": ("*", "count"),
+        },
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        def r6(name, scale):
+            v = np.asarray(batch.column(name).combine_chunks(), dtype=np.float64)
+            return pa.array(rnd(v / scale), pa.float64())
+
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": r6("sum_qty_c", 100.0),
+                "sum_base_price": r6("sum_price_c", 100.0),
+                "sum_disc_price": r6("sum_disc_price_s", 10000.0),
+                "avg_qty": r6("avg_qty_c", 100.0),
+                "avg_disc": r6("avg_disc_c", 100.0),
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "revenue_by_segment",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_orders, ROUND(sum(ROUND(o.o_totalprice * 100)) / 100, 6) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def revenue_by_segment(sf_dir: str):
+    """J2 analog: broadcast dimension join (customer is the small side)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).iter_batches(batch_format="pyarrow")]
+    )
+    customer = customer.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, on="o_custkey", how="inner")
+    return grouped_agg(
+        joined, ["c_mktsegment"], {"n_orders": ("*", "count"), "revenue": ("o_totalprice", "sum_cents")}, round_to=6
+    )
+
+
+@register(
+    "customers_without_open_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_without_open_orders(sf_dir: str):
+    """Anti-join (J4): customers with no open ('O') order — broadcast key set."""
+    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    open_orders = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).iter_batches(batch_format="pyarrow")]
+    )
+    keys = open_orders.filter(pc.equal(open_orders.column("o_orderstatus"), "O"))
+    keys = pa.table({"c_custkey": keys.column("o_custkey").combine_chunks().unique()})
+    no_open = broadcast_join(customer, keys, on="c_custkey", how="anti")
+    return grouped_agg(no_open, ["c_mktsegment"], {"n_customers": ("*", "count")})
+
+
+@register(
+    "building_segment_orders",
+    """
+    SELECT count(*) AS n_orders, ROUND(sum(ROUND(o_totalprice * 100)) / 100, 6) AS total
+    FROM orders WHERE o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def building_segment_orders(sf_dir: str):
+    """Semi-join via broadcast membership."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).iter_batches(batch_format="pyarrow")]
+    )
+    keys = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING")).select(["c_custkey"])
+    keys = keys.rename_columns(["o_custkey"])
+    semi = broadcast_join(orders, keys, on="o_custkey", how="semi")
+    return global_agg(semi, {"n_orders": ("o_totalprice", "count"), "total": ("o_totalprice", "sum_cents")})
+
+
+@register(
+    "orders_by_nation",
+    """
+    SELECT n.n_name, count(*) AS n_orders, ROUND(sum(ROUND(o.o_totalprice * 100)) / 100, 6) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def orders_by_nation(sf_dir: str):
+    """Chained broadcast joins: fact → dim → dim (star schema)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).iter_batches(batch_format="pyarrow")]
+    )
+    nation = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow")]
+    )
+    cust_nation = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    cust_nation = cust_nation.select(["c_custkey", "n_name"]).rename_columns(["o_custkey", "n_name"])
+    joined = broadcast_join(orders, cust_nation, on="o_custkey", how="inner")
+    return grouped_agg(
+        joined, ["n_name"], {"n_orders": ("*", "count"), "revenue": ("o_totalprice", "sum_cents")}, round_to=6
+    )
+
+
+@register(
+    "part_type_tokens",
+    """
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS t FROM part)
+    GROUP BY t
+    """,
+)
+def part_type_tokens(sf_dir: str):
+    """M5/M6 analog: tokenize + explode (multi-label explode pattern,
+    extract_HRV.py:52-77) via flat_map inside map_batches."""
+    ds = read_table(sf_dir, "part", columns=["p_type"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("p_type"), " ")
+        flat = pc.list_flatten(toks)
+        return pa.table({"token": flat})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(exploded, ["token"], {"n": ("*", "count")})
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup (training-data ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_live,
+           ROUND(length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def doc_token_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ntok = np.array([T.token_count(t) for t in texts], dtype=np.int64)
+        nch = np.array([len(t) for t in texts], dtype=np.int64)
+        nch_nospace = np.array([len(t.replace(" ", "")) for t in texts], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(ntok),
+                "n_chars_live": pa.array(nch),
+                "avg_token_len": pa.array(rnd(nch_nospace / ntok)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "lang_source_counts",
+    """
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_source_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return grouped_agg(
+        ds, ["lang", "source"], {"n_docs": ("*", "count"), "total_chars": ("n_chars", "sum")}
+    )
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_docs(sf_dir: str):
+    """Exact dedup: hash-partition by content fingerprint + per-group first."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "fp": pa.array([T.fingerprint_md5(t) for t in texts], pa.string()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    hashed = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(hashed, ["fp"], {"n_copies": ("*", "count"), "keeper_doc_id": ("doc_id", "min")})
+
+
+@register(
+    "minhash_signatures",
+    """
+    SELECT doc_id,
+           min(md5(concat('0|', t))) AS mh0,
+           min(md5(concat('1|', t))) AS mh1
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def minhash_signatures(sf_dir: str):
+    """MinHash LSH prep: md5-based permutations are oracle-reproducible."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mh(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = [T.minhash_signature(t, num_perm=2) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "mh0": pa.array([s[0] for s in sigs], pa.string()),
+                "mh1": pa.array([s[1] for s in sigs], pa.string()),
+            }
+        )
+
+    return ds.map_batches(mh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+KNN_THRESHOLD = 0.3
+N_KNN_QUERIES = 10
+
+@register(
+    "knn_neighbor_counts",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_KNN_QUERIES}),
+    dots AS (
+      SELECT q.query_id, e.vec_id,
+             sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS nq,
+             sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne
+      FROM q, embeddings e, range(1, 65) t(i)
+      WHERE e.vec_id <> q.query_id
+      GROUP BY q.query_id, e.vec_id
+    )
+    SELECT query_id,
+           count(*) FILTER (WHERE dot / (nq * ne) >= {KNN_THRESHOLD}) AS n_neighbors
+    FROM dots GROUP BY query_id
+    """,
+)
+def knn_neighbor_counts(sf_dir: str):
+    """Brute-force cosine similarity: query matrix broadcast via ray.put,
+    per-batch float64 matmul (the ANN baseline)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        [pa.table(b) for b in ds.filter(expr=f"vec_id < {N_KNN_QUERIES}").iter_batches(batch_format="pyarrow")]
+    )
+    q_ids = np.asarray(qtbl.column("vec_id").combine_chunks())
+    Q = np.vstack([np.asarray(x, dtype=np.float64) for x in qtbl.column("embedding").to_pylist()])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids, Qn_ = ray.get(q_ref)
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in batch.column("embedding").to_pylist()])
+        vids = np.asarray(batch.column("vec_id").combine_chunks())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Qn_ @ Vn.T  # (n_q, n_batch)
+        counts_ = np.zeros(len(ids), dtype=np.int64)
+        for j, qid in enumerate(ids):
+            mask = vids != qid
+            counts_[j] = int(np.count_nonzero(sims[j][mask] >= KNN_THRESHOLD))
+        return pa.table({"query_id": pa.array(ids, pa.int64()), "n_partial": pa.array(counts_)})
+
+    partials = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(partials, ["query_id"], {"n_neighbors": ("n_partial", "sum")})
+
+
+@register(
+    "embedding_label_stats",
+    """
+    SELECT label, count(*) AS n_vecs,
+           ROUND(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_e0
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_stats(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def first_elem(batch: pa.Table) -> pa.Table:
+        e0 = pc.list_element(batch.column("embedding"), 0).cast(pa.float64())
+        return pa.table({"label": batch.column("label"), "e0": e0})
+
+    prepped = ds.map_batches(first_elem, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(prepped, ["label"], {"n_vecs": ("*", "count"), "mean_e0": ("e0", "mean")}, round_to=6)
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+@register("simhash_docs")
+def simhash_docs(sf_dir: str):
+    """SimHash near-dup fingerprints (bitwise majority vote — not SQL)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array([T.simhash64(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("doc_quality_lang")
+def doc_quality_lang(sf_dir: str):
+    """Language-ID heuristic + quality score + BPE-ish token count."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def q(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array([T.lang_id(t) for t in texts], pa.string()),
+                "quality": pa.array([T.quality_score(t) for t in texts], pa.float64()),
+                "bpe_tokens": pa.array([T.bpe_ish_token_count(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("knn_topk")
+def knn_topk(sf_dir: str, k: int = 5):
+    """Brute-force cosine top-k for the first 3 query vectors (ANN baseline:
+    partial per-batch top-k → global merge)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        [pa.table(b) for b in ds.filter(expr="vec_id < 3").iter_batches(batch_format="pyarrow")]
+    )
+    q_ids = np.asarray(qtbl.column("vec_id").combine_chunks())
+    Q = np.vstack([np.asarray(x, dtype=np.float64) for x in qtbl.column("embedding").to_pylist()])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        ids, Qn_ = ray.get(q_ref)
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in batch.column("embedding").to_pylist()])
+        vids = np.asarray(batch.column("vec_id").combine_chunks())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Qn_ @ Vn.T
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(ids):
+            srow = sims[j].copy()
+            srow[vids == qid] = -np.inf
+            top = np.argsort(-srow)[:k]
+            out_q += [int(qid)] * len(top)
+            out_v += [int(x) for x in vids[top]]
+            out_s += [float(x) for x in srow[top]]
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(topk_partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.sort([("query_id"), ("sim")], descending=[False, True])
+    df = merged.to_pandas()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "neighbor_id", "sim", "rank"]]
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+@register("near_dup_pairs")
+def near_dup_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs verified by char-5-gram Jaccard:
+    band groupby → bucket pairs → exact verify (no O(n²) all-pairs)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = [T.minhash_signature(t, num_perm=4) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "band": pa.array([s[0][:8] + s[1][:8] for s in sigs], pa.string()),
+                "text": batch.column("text"),
+            }
+        )
+
+    banded = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        rows = []
+        docs = group.sort_values("doc_id").reset_index(drop=True)
+        grams = [T.char_ngrams(t) for t in docs.text]
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                jac = T.jaccard(grams[i], grams[j])
+                if jac >= 0.5:
+                    rows.append((int(docs.doc_id[i]), int(docs.doc_id[j]), round(jac, 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")

@@ -1,0 +1,128 @@
+"""Distributed group-by aggregation with partial (combiner) pre-aggregation.
+
+The scale pattern (SURVEY.md §7.3): aggregate INSIDE ``map_batches`` first so
+only (groups × partial-columns) rows enter the shuffle, then a small
+``groupby(keys).map_groups`` finalizes.  At 100 TB the shuffle moves partial
+rows (≈ #groups × #blocks), not data rows — the difference between an
+all-to-all of the table and of a summary.
+
+Reference analog: all reference aggregations are single-process DataFrame
+appends (/root/reference/extract_HRV.py:38); the partial/final split is the
+Ray-native restatement.
+
+Supported mergeable aggs: count, sum, min, max, mean, std (sample, via
+sum/sumsq), plus count_distinct (exact, via per-batch unique sets — use only
+on bounded-cardinality columns).  Non-mergeable order statistics (median,
+percentiles) belong in ``partition.grouped_sorted_apply`` instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def grouped_agg(
+    ds: Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    round_to: int | None = None,
+) -> Dataset:
+    """Grouped aggregation: out_name → (source_col, fn).
+
+    fn ∈ {count, sum, mean, min, max, std, count_distinct}.  ``count`` with
+    source '*' counts rows.  ``round_to`` rounds float outputs (oracle-hash
+    stability).
+    """
+    # partial columns needed per source column
+    need_cents = {src for src, fn in specs.values() if fn == "sum_cents"}
+    need_sum = {src for src, fn in specs.values() if fn in ("sum", "mean", "std")}
+    need_sumsq = {src for src, fn in specs.values() if fn == "std"}
+    need_min = {src for src, fn in specs.values() if fn == "min"}
+    need_max = {src for src, fn in specs.values() if fn == "max"}
+    need_cnt = {src for src, fn in specs.values() if fn in ("mean", "std")} | {
+        src for src, fn in specs.values() if fn == "count" and src != "*"
+    }
+    need_distinct = {src for src, fn in specs.values() if fn == "count_distinct"}
+    count_rows = any(fn == "count" and src == "*" for src, fn in specs.values())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            sorted(set(keys) | need_cents | need_sum | need_sumsq | need_min | need_max | need_cnt | need_distinct)
+        ).to_pandas()
+        for src in need_cents:
+            df[f"__c_{src}"] = np.rint(df[src].astype(float) * 100)
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = {}
+        for src in need_cents:
+            # integer-cents partial sums are exact in float64 → final result
+            # is order-independent and bit-identical to a SQL oracle's
+            out[f"__cents_{src}"] = g[f"__c_{src}"].sum()
+        for src in need_sum:
+            out[f"__sum_{src}"] = g[src].sum()
+        for src in need_sumsq:
+            out[f"__sumsq_{src}"] = g[src].apply(lambda s: float((s.astype(float) ** 2).sum()))
+        for src in need_min:
+            out[f"__min_{src}"] = g[src].min()
+        for src in need_max:
+            out[f"__max_{src}"] = g[src].max()
+        for src in need_cnt:
+            out[f"__cnt_{src}"] = g[src].count()
+        for src in need_distinct:
+            out[f"__set_{src}"] = g[src].agg(lambda s: list(s.dropna().unique()))
+        if count_rows:
+            out["__rows"] = g.size()
+        pdf = pd.DataFrame(out).reset_index()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        row = {k: group[k].iloc[0] for k in keys}
+        for name, (src, fn) in specs.items():
+            if fn == "count":
+                v = group["__rows"].sum() if src == "*" else group[f"__cnt_{src}"].sum()
+            elif fn == "sum_cents":
+                v = group[f"__cents_{src}"].sum() / 100.0
+            elif fn == "sum":
+                v = group[f"__sum_{src}"].sum()
+            elif fn == "min":
+                v = group[f"__min_{src}"].min()
+            elif fn == "max":
+                v = group[f"__max_{src}"].max()
+            elif fn == "mean":
+                v = group[f"__sum_{src}"].sum() / group[f"__cnt_{src}"].sum()
+            elif fn == "std":
+                n = group[f"__cnt_{src}"].sum()
+                s = group[f"__sum_{src}"].sum()
+                ss = group[f"__sumsq_{src}"].sum()
+                v = np.sqrt(max(ss - s * s / n, 0.0) / (n - 1)) if n > 1 else np.nan
+            elif fn == "count_distinct":
+                v = len({x for lst in group[f"__set_{src}"] for x in lst})
+            else:
+                raise ValueError(fn)
+            if round_to is not None and isinstance(v, (float, np.floating)):
+                v = round(float(v), round_to)
+            row[name] = v
+        return pd.DataFrame([row])
+
+    return partials.groupby(keys).map_groups(finalize, batch_format="pandas")
+
+
+def global_agg(ds: Dataset, specs: dict[str, tuple[str, str]]) -> pa.Table:
+    """Whole-dataset aggregate (no keys) via the same partial pattern.
+
+    Returns a one-row Arrow table (small result — driver-side merge is fine;
+    reference analog: the global min-length scan, /root/reference/utils.py:43-56).
+    """
+    tagged = ds.map_batches(
+        lambda b: b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = grouped_agg(tagged, ["__g"], specs)
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.drop_columns(["__g"])
