@@ -78,9 +78,8 @@ def phash64(pixels: np.ndarray) -> int:
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     g = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (g > g.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b in bits:
-        val = np.uint64(val << np.uint64(1)) | b
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    val = np.uint64(np.bitwise_or.reduce(bits * weights))
     return int(val.astype(np.int64))  # signed int64 for the Arrow column
 
 

