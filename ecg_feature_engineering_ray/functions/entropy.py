@@ -28,8 +28,10 @@ def _count_matches(x: np.ndarray, m: int, r: float) -> int:
     # templates: (n, m) strided view
     t = np.lib.stride_tricks.sliding_window_view(x, m)
     total = 0
-    # row-blocked O(n^2) with vectorized inner comparison
-    block = max(1, 4_000_000 // max(1, n * m))
+    # row-blocked O(n^2) with vectorized inner comparison; block sized so the
+    # (block × n × m) float64 temporary stays ~2 MB (L2-resident) — larger
+    # blocks saturate DRAM bandwidth when many cores run SampEn concurrently
+    block = max(1, 250_000 // max(1, n * m))
     for i0 in range(0, n - 1, block):
         i1 = min(i0 + block, n - 1)
         sub = t[i0:i1]                                     # (b, m)

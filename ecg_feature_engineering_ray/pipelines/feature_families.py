@@ -1,0 +1,275 @@
+"""Entity-level feature-family pipelines — the reference's four extractors.
+
+Each family replays its reference extractor over the fixture event table:
+per entity, order rows by ts, derive the interval series u = Δts (ms) and
+the value series v (decoded luminance), compute the family vector, explode
+by caption labels (M6), and emit one row per (entity × label) — exactly the
+reference's output shape (one wide CSV row per record×label,
+/root/reference/extract_HRV.py:52-80).
+
+Families (SURVEY.md §2.4):
+- HRV   (A1)      — 9 stats over u                        ≙ HRV_features.py:92-153
+- LONG  (A2–A12)  — order stats, zero-cross, band powers (×3 call quirk),
+                    SNR, autocorr 12, zigzag (×2), wavelet stats, total power
+                    over v                                 ≙ LONG_features.py:265-282
+- QRS   (A14–A24) — trimmed stats, 3pt-median stats, ΔRR stats, bin_stat,
+                    Yuxi, variability, CoV, MAD, CDF, sampen, autocorr over u
+                                                           ≙ QRS_features.py:370-608
+- SHORT (A13/E6)  — per-session (gap-burst ≙ beat) features rolled up with
+                    {mean,max,min,std,p25,p75}             ≙ extract_SHORT.py:21,142-297
+
+``join_families`` column-joins the family tables on (image_id, label) — the
+keyed restatement of the reference's positional CSV join
+(/root/reference/xgboost_clf.py:12-15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions import stats as S
+from ..functions import spectral as SP
+from ..functions import wavelet as W
+from ..functions.entropy import sample_entropy_feature, sampen_hrv
+from ..sources.readers import read_events
+from ..stages.decode import decode_stage
+from ..stages.partition import entity_segments, grouped_sorted_apply
+from ..stages.session import session_segments
+
+SESSION_GAP_US = 30_000_000
+
+HRV_NAMES = ["sdnn", "max_rr", "min_rr", "mean_rr", "r_density", "pnn50", "rmssd", "sampen_1", "sampen_2"]
+
+LONG_NAMES = (
+    ["v_range", "v_var", "v_skew", "v_kurt", "v_median", "v_p1", "v_p5", "v_p10", "v_p25",
+     "v_p75", "v_p90", "v_p95", "v_p99", "v_iqr", "v_r9010", "v_r9505", "v_r9901",
+     "zero_cross", "snr_low_high", "total_power"]
+    + [f"bp1_{i}" for i in range(6)] + [f"bp2_{i}" for i in range(6)] + [f"bp3_{i}" for i in range(6)]
+    + [f"autocorr_{k}" for k in range(12)]
+    + ["zigzag_a", "zigzag_b"]
+    + W.wavelet_stat_names()
+)
+
+QRS_NAMES = (
+    ["u_mean", "u_hr", "u_count", "u_range", "u_var", "u_skew", "u_kurt", "u_median",
+     "u_min", "u_p5", "u_p25", "u_p75", "u_p95", "u_r7525", "u_r9505"]
+    + ["m_mean", "m_range", "m_var", "m_skew", "m_kurt", "m_median", "m_min", "m_p5", "m_p25", "m_p75", "m_p95"]
+    + ["d_mean", "d_range", "d_var", "d_skew", "d_kurt", "d_median", "d_min", "d_p5", "d_p25", "d_p75", "d_p95"]
+    + S.bin_stat_names()
+    + ["yuxi_1x", "yuxi_2x", "yuxi_3x"]
+    + ["var_sdnn", "var_nn50", "var_pnn50", "var_stepping", "var_dispersion"]
+    + ["cov_t", "cov_dt", "mad", "cdf_mean"]
+    + ["sampen_m1", "sampen_m2", "sampen_m3"]
+    + [f"qrs_autocorr_{k}" for k in range(3)]
+)
+
+_SESSION_BASE = ["len", "dur_ms", "mean_u", "std_u", "mean_v", "amp_v"]
+_ROLLUPS = ["mean", "max", "min", "std", "p25", "p75"]
+SHORT_NAMES = [f"sess_{b}_{r}" for b in _SESSION_BASE for r in _ROLLUPS]
+
+
+def _basic_block(x: np.ndarray, trimmed: bool) -> list[float]:
+    """The QRSBasicStat 15/11-stat block (QRS_features.py:370-434)."""
+    t = x[1:-1] if trimmed else x
+    if t.size == 0:
+        return [0.0] * (15 if trimmed else 11)
+    p5, p25, p75, p95 = np.percentile(t, [5, 25, 75, 95])
+    out = [t.mean()]
+    if trimmed:
+        out.append(60000.0 / t.mean() if t.mean() != 0 else 0.0)  # HR from ms intervals
+        out.append(float(t.size))
+    out += [float(t.max() - t.min()), float(t.var()), S.skewness(t), S.kurtosis(t),
+            float(np.median(t)), float(t.min()), float(p5), float(p25), float(p75), float(p95)]
+    if trimmed:
+        out += [float(p75 - p25), float(p95 - p5)]
+        return out
+    return out[:11]
+
+
+def hrv_vector(ts_us: np.ndarray, v: np.ndarray) -> np.ndarray:
+    u = np.diff(ts_us).astype(np.float64) / 1000.0
+    out = np.full(len(HRV_NAMES), np.nan)
+    if u.size == 0:
+        return out
+    du = np.diff(u)
+    span = (ts_us[-1] - ts_us[0]) / 1000.0
+    se = sampen_hrv(u)
+    out[:] = [u.std(), u.max(), u.min(), u.mean(),
+              u.size / span if span > 0 else np.nan,
+              S.pnn_fraction(du, 50.0), S.rmssd(du), se[0], se[1]]
+    return out
+
+
+def long_vector(ts_us: np.ndarray, v: np.ndarray) -> np.ndarray:
+    ps = np.percentile(v, [1, 5, 10, 25, 75, 90, 95, 99, 50]) if v.size else np.full(9, np.nan)
+    p1, p5, p10, p25, p75, p90, p95, p99, med = ps
+    base = [v.max() - v.min() if v.size else np.nan, v.var(), S.skewness(v), S.kurtosis(v),
+            med, p1, p5, p10, p25, p75, p90, p95, p99,
+            p75 - p25, p90 - p10, p95 - p5, p99 - p1,
+            float(S.zero_crossings(v - v.mean())) if v.size else np.nan,
+            SP.snr_low_high(v), SP.fft_power(v)]
+    # the reference composition calls LongFFTBandPower THREE times
+    # (LONG_features.py:272-276) and zigzag TWICE (:278,281) — replicated
+    bp = list(SP.band_power(v)) + list(SP.band_power(v)) + list(SP.band_power(v))
+    ac = list(S.autocorr(v, 12))
+    zz = [float(S.zigzag(v)), float(S.zigzag(v))]
+    wt = list(W.wavelet_stat(v, min_len=64))
+    return np.array(base + bp + ac + zz + wt, dtype=np.float64)
+
+
+def qrs_vector(ts_us: np.ndarray, v: np.ndarray) -> np.ndarray:
+    u = np.diff(ts_us).astype(np.float64) / 1000.0
+    if u.size == 0:
+        return np.full(len(QRS_NAMES), 0.0)
+    block1 = _basic_block(u, trimmed=True)
+    block2 = _basic_block(S.rolling_median3(u), trimmed=False)
+    block3 = _basic_block(np.diff(u[1:-1]) if u.size >= 4 else np.array([]), trimmed=False)
+    bins = list(S.bin_stat(u))
+    yuxi = list(S.yuxi_fractions(u))
+    var = list(S.variability(u))
+    cov = list(S.coeff_of_variation(u))
+    extras = [S.mad(u), S.cdf_mean(u)]
+    se = list(sample_entropy_feature(u, mm=3, r=0.2))
+    ac = list(S.autocorr(u, 3))
+    return np.array(block1 + block2 + block3 + bins + yuxi + var + cov + extras + se + ac,
+                    dtype=np.float64)
+
+
+def short_vector(ts_us: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Per-session features rolled up across sessions (A13 pattern)."""
+    brk = np.flatnonzero(np.diff(ts_us) > SESSION_GAP_US) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [ts_us.size]))
+    feats = []
+    for s, e in zip(starts, ends):
+        su = np.diff(ts_us[s:e]).astype(np.float64) / 1000.0
+        sv = v[s:e]
+        feats.append([
+            float(e - s),
+            (ts_us[e - 1] - ts_us[s]) / 1000.0,
+            su.mean() if su.size else 0.0,
+            su.std() if su.size else 0.0,
+            sv.mean(),
+            sv.max() - sv.min(),
+        ])
+    m = np.asarray(feats)  # (n_sessions, 6)
+    out = []
+    for j in range(m.shape[1]):
+        col = m[:, j]
+        out += [col.mean(), col.max(), col.min(), col.std(), *np.percentile(col, [25, 75])]
+    return np.array(out, dtype=np.float64)
+
+
+_FAMILIES = {
+    "hrv": (HRV_NAMES, hrv_vector),
+    "long": (LONG_NAMES, long_vector),
+    "qrs": (QRS_NAMES, qrs_vector),
+    "short": (SHORT_NAMES, short_vector),
+}
+
+
+def family_features(
+    events_dir: str,
+    family: str,
+    num_buckets: int = 16,
+    explode_labels: bool = True,
+    decode_concurrency=(1, 4),
+) -> Dataset:
+    """One row per entity (× caption label when exploded) with the family vector."""
+    names, fn = _FAMILIES[family]
+    decoded = decode_stage(read_events(events_dir), concurrency=decode_concurrency)
+    decoded = decoded.select_columns(["image_id", "ts", "v", "caption"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "image_id")
+        ids = tbl.column("image_id")
+        caps = tbl.column("caption")
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        v = np.asarray(tbl.column("v").combine_chunks(), dtype=np.float64)
+        out_id, out_label, rows = [], [], []
+        for s, e in zip(starts, ends):
+            vec = fn(ts[s:e], v[s:e])
+            eid = ids[s].as_py()
+            labels = caps[s].as_py().split(",") if explode_labels else [""]
+            for lab in labels:  # multi-label explode (extract_HRV.py:52-77)
+                out_id.append(eid)
+                out_label.append(lab)
+                rows.append(vec)
+        cols: dict[str, pa.Array] = {
+            "image_id": pa.array(out_id, pa.string()),
+            "label": pa.array(out_label, pa.string()),
+        }
+        mat = np.vstack(rows) if rows else np.empty((0, len(names)))
+        for j, nm in enumerate(names):
+            cols[f"{family}_{nm}"] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
+
+    return grouped_sorted_apply(decoded, "image_id", ["ts"], per_bucket, num_buckets,
+                                pre_shuffle_blocks=max(4, num_buckets // 2))
+
+
+def join_families(events_dir: str, families: list[str], num_buckets: int = 16) -> Dataset:
+    """Column-join family tables on (image_id, label) — J1 as a keyed join.
+
+    All families share the one bucket spine, so the join is per-bucket local:
+    compute every family inside the SAME per-bucket pass and concat columns —
+    no extra shuffle at all.
+    """
+    fams = [(f, *_FAMILIES[f]) for f in families]
+    decoded = decode_stage(read_events(events_dir), concurrency=(1, 4))
+    decoded = decoded.select_columns(["image_id", "ts", "v", "caption"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "image_id")
+        ids = tbl.column("image_id")
+        caps = tbl.column("caption")
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        v = np.asarray(tbl.column("v").combine_chunks(), dtype=np.float64)
+        out_id, out_label = [], []
+        fam_rows: dict[str, list] = {f: [] for f, _, _ in fams}
+        for s, e in zip(starts, ends):
+            vecs = {f: fn(ts[s:e], v[s:e]) for f, _, fn in fams}
+            eid = ids[s].as_py()
+            for lab in caps[s].as_py().split(","):
+                out_id.append(eid)
+                out_label.append(lab)
+                for f, _, _ in fams:
+                    fam_rows[f].append(vecs[f])
+        cols: dict[str, pa.Array] = {
+            "image_id": pa.array(out_id, pa.string()),
+            "label": pa.array(out_label, pa.string()),
+        }
+        for f, names, _ in fams:
+            mat = np.vstack(fam_rows[f]) if fam_rows[f] else np.empty((0, len(names)))
+            for j, nm in enumerate(names):
+                cols[f"{f}_{nm}"] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
+
+    return grouped_sorted_apply(decoded, "image_id", ["ts"], per_bucket, num_buckets,
+                                pre_shuffle_blocks=max(4, num_buckets // 2))
+
+
+def top_k_features_by_variance(joined: Dataset, k: int = 50) -> list[str]:
+    """O4 analog (top-k by importance, xgboost_clf.py:242-248): rank feature
+    columns by variance via a single partial-agg pass; returns column names."""
+    import pandas as pd  # noqa: PLC0415
+
+    def partial(batch: pa.Table) -> pa.Table:
+        num_cols = [c for c in batch.column_names if c not in ("image_id", "label")]
+        sums, sqs, ns = [], [], []
+        for c in num_cols:
+            x = np.asarray(batch.column(c).combine_chunks(), dtype=np.float64)
+            x = x[np.isfinite(x)]
+            sums.append(x.sum())
+            sqs.append(float((x**2).sum()))
+            ns.append(x.size)
+        return pa.table({"col": pa.array(num_cols), "s": pa.array(sums),
+                         "ss": pa.array(sqs), "n": pa.array(ns, pa.int64())})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("col").sum()
+    var = (agg.ss - agg.s**2 / agg.n.clip(lower=1)) / agg.n.clip(lower=1)
+    return list(var.sort_values(ascending=False).head(k).index)

@@ -27,9 +27,34 @@ from ray.data import Dataset
 from ..sources.readers import list_fragments, read_events
 from ..stages.asof import SIDE_COL, asof_merge_table
 from ..stages.decode import decode_stage
-from ..stages.partition import BUCKET_COL, detect_hot_keys, grouped_sorted_apply
+from ..stages.partition import (
+    BUCKET_COL,
+    detect_hot_keys,
+    entity_counts,
+    grouped_sorted_apply,
+    plan_buckets,
+)
 from ..state.checkpoint import commit_partition, completed_buckets
 from .features import PIT_FEATURE_NAMES, make_pit_feature_fn
+
+
+def compute_bucket_plan(
+    events_dir: str, queries_path: str, num_buckets: int, sampen_max_n: int = 400
+) -> dict:
+    """Cost-balanced bucket plan from shuffle-free key-column count passes.
+
+    Merge-stage cost model: each query pays O(min(prefix, sampen_cap)²) for
+    the SampEn kernel over its entity's event prefix.  In production this is
+    a periodic stats job whose output is reused across runs — callers may
+    compute it once and pass ``bucket_plan`` to :func:`pit_features`.
+    """
+    ev_counts = entity_counts(read_events(events_dir, columns=["image_id"]), "image_id")
+    q_counts = entity_counts(ray.data.read_parquet(queries_path, columns=["image_id"]), "image_id")
+    cost_map = {
+        k: max(q_counts.get(k, 0), 1) * float(min(n, sampen_max_n)) ** 2 + n
+        for k, n in ev_counts.items()
+    }
+    return plan_buckets(cost_map, num_buckets, cost=lambda c: c)
 
 
 def pit_features(
@@ -41,6 +66,7 @@ def pit_features(
     decode_concurrency: int | tuple[int, int] = (2, 8),
     sampen_max_n: int = 400,
     hot_keys: list | None = None,
+    bucket_plan: dict | None = None,
 ) -> Dataset:
     """Streaming Dataset of (image_id, as_of_ts, caption?, features…)."""
     events = read_events(events_dir)  # full schema — decode needs bytes
@@ -49,15 +75,19 @@ def pit_features(
 
     left = ray.data.read_parquet(queries_path)
 
-    # skew detection reads ONLY the key column (column-pruned scan) — it must
-    # not force a second pass through the decode stage.  A precomputed
-    # ``hot_keys`` list (periodic stats job in production) skips the pass.
-    if hot_keys is not None:
-        hot = hot_keys
-    elif detect_skew:
-        hot = detect_hot_keys(read_events(events_dir, columns=["image_id"]), "image_id", hot_frac=hot_frac)
+    # skew stats read ONLY the key column (column-pruned scan) — they must
+    # not force a second pass through the decode stage.  Heavy entities are
+    # LPT-packed into balanced buckets (plan_buckets); the per-entity counts
+    # double as hot-key detection.  A precomputed ``hot_keys`` list skips
+    # nothing here — packing still needs counts — but is accepted for API
+    # compatibility (production runs pass stats from a periodic job).
+    if bucket_plan is not None:
+        plan, hot = bucket_plan, None
+    elif detect_skew or hot_keys is not None:
+        plan = compute_bucket_plan(events_dir, queries_path, num_buckets, sampen_max_n)
+        hot = None  # packing subsumes dedicated hot buckets
     else:
-        hot = None
+        plan, hot = None, None
     point_fn = make_pit_feature_fn(sampen_max_n)
 
     # tag + align (see stages/asof.py): one shuffle carries both sides
@@ -100,7 +130,7 @@ def pit_features(
 
     return grouped_sorted_apply(
         unioned, "image_id", ["__ts", SIDE_COL], per_bucket, num_buckets,
-        hot_keys=hot, pre_shuffle_blocks=max(8, num_buckets // 2),
+        hot_keys=hot, explicit_map=plan, pre_shuffle_blocks=max(8, num_buckets // 2),
     )
 
 
@@ -117,17 +147,29 @@ def pit_features_checkpointed(
     stage; each bucket commits data+manifest atomically from its worker.
     Returns the manifests of THIS run (empty if everything was done).
     """
+    from ..state.backfill import load_run_config, save_run_config
+
     done = completed_buckets(out_dir)
     fragments = list_fragments(events_dir)
 
     events = read_events(events_dir)
     decoded = decode_stage(events).select_columns(["image_id", "ts", "v"])
     left = ray.data.read_parquet(queries_path)
-    hot = (
-        detect_hot_keys(read_events(events_dir, columns=["image_id"]), "image_id", hot_frac=0.10)
-        if detect_skew
-        else None
-    )
+    cfg = load_run_config(out_dir)
+    if cfg is not None:
+        # resume/backfill: bucket assignment MUST match the original run
+        if cfg["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"num_buckets {num_buckets} != committed run config {cfg['num_buckets']}"
+            )
+        hot = cfg["hot_keys"]
+    else:
+        hot = (
+            detect_hot_keys(read_events(events_dir, columns=["image_id"]), "image_id", hot_frac=0.10)
+            if detect_skew
+            else []
+        )
+        save_run_config(out_dir, num_buckets, hot, fragments)
     point_fn = make_pit_feature_fn()
 
     def tag_left(b: pa.Table) -> pa.Table:
@@ -184,7 +226,7 @@ def pit_features_checkpointed(
     out = grouped_sorted_apply(
         unioned, "image_id", ["__ts", SIDE_COL], per_bucket, num_buckets,
         hot_keys=hot, skip_buckets=done, keep_bucket_col=True,
-        pre_shuffle_blocks=max(8, num_buckets // 2),
+        pre_shuffle_blocks=num_buckets,
     )
     import json  # noqa: PLC0415
 

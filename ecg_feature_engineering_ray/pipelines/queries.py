@@ -1238,3 +1238,180 @@ def resize_thumbnails(sf_dir: str):
 
     return ds.map_batches(Thumb, batch_format="pyarrow", zero_copy_batch=True,
                           concurrency=(1, 4), batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# feature-family pipelines (A1-A25 compositions; rows-only — gated by
+# tests/test_families.py against the numpy oracle)
+# ---------------------------------------------------------------------------
+
+def _family_query(family: str):
+    def fn(sf_dir: str):
+        from .feature_families import family_features
+
+        events_dir, _ = _fixture(sf_dir)
+        return family_features(events_dir, family, num_buckets=NB)
+
+    fn.__name__ = f"{family}_features_family"
+    fn.__doc__ = f"Entity×label {family.upper()} feature vectors (SURVEY §2.4)."
+    return fn
+
+
+for _fam in ("hrv", "long", "qrs", "short"):
+    QUERIES[f"{_fam}_features_family"] = _family_query(_fam)
+
+
+@register("features_joined")
+def features_joined(sf_dir: str):
+    """J1: all four family tables column-joined on (image_id, label) inside
+    ONE bucket pass (no extra shuffle; ≙ xgboost_clf.py:12-15)."""
+    from .feature_families import join_families
+
+    events_dir, _ = _fixture(sf_dir)
+    return join_families(events_dir, ["hrv", "long", "qrs", "short"], num_buckets=NB)
+
+
+# ---------------------------------------------------------------------------
+# deterministic splits (O2/O3), ANN scale path, embedding near-dups
+# ---------------------------------------------------------------------------
+
+@register(
+    "hash_split_counts",
+    """
+    SELECT CASE WHEN ('0x' || substr(md5(concat('split|', CAST(event_id AS VARCHAR))), 1, 2))::INT < 204
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def hash_split_counts(sf_dir: str):
+    """O2/O3: deterministic ~80/20 hash split (retry-safe, no RNG state;
+    replaces np.random.permutation, preprocess-300hz.py:174-186)."""
+    import hashlib
+
+    ds = _events(sf_dir, ["event_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        names = [
+            "train" if int(hashlib.md5(f"split|{i}".encode()).hexdigest()[:2], 16) < 204 else "test"
+            for i in ids
+        ]
+        return pa.table({"split": pa.array(names, pa.string())})
+
+    tagged = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(tagged, ["split"], {"n": ("*", "count")})
+
+
+@register("knn_ivf")
+def knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4, k: int = 5):
+    """ANN scale path: IVF-style bucketed search.  Seeded deterministic
+    centroids (first n_lists vectors), assign every vector to its nearest
+    centroid inside map_batches, then search only the query's ``n_probe``
+    nearest lists.  Brute-force baseline: ``knn_topk``."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent_tbl = pa.concat_tables(
+        [pa.table(b) for b in ds.filter(expr=f"vec_id < {n_lists}").iter_batches(batch_format="pyarrow")]
+    )
+    C = np.vstack([np.asarray(x, dtype=np.float64) for x in cent_tbl.column("embedding").to_pylist()])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    qt = pa.concat_tables(
+        [pa.table(b) for b in ds.filter(expr="vec_id < 3").iter_batches(batch_format="pyarrow")]
+    )
+    q_ids = np.asarray(qt.column("vec_id").combine_chunks())
+    Q = np.vstack([np.asarray(x, dtype=np.float64) for x in qt.column("embedding").to_pylist()])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_lists = {int(q): set(np.argsort(-(Qn[j] @ Cn.T))[:n_probe].tolist()) for j, q in enumerate(q_ids)}
+    bc = ray.put((Cn, q_ids, Qn, probe_lists))
+
+    def search(batch: pa.Table) -> pa.Table:
+        Cn_, ids_, Qn_, probes = ray.get(bc)
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in batch.column("embedding").to_pylist()])
+        vids = np.asarray(batch.column("vec_id").combine_chunks())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        assign = np.argmax(Vn @ Cn_.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(ids_):
+            mask = np.fromiter((a in probes[int(qid)] for a in assign), bool, len(assign))
+            mask &= vids != qid
+            if not mask.any():
+                continue
+            sims = Qn_[j] @ Vn[mask].T
+            cand = vids[mask]
+            top = np.argsort(-sims)[:k]
+            out_q += [int(qid)] * len(top)
+            out_v += [int(x) for x in cand[top]]
+            out_s += [float(x) for x in sims[top]]
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(search, batch_format="pyarrow", zero_copy_batch=True)
+    df = partials.sort([("query_id"), ("sim")], descending=[False, True]).to_pandas()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(df[df["rank"] <= k].reset_index(drop=True), preserve_index=False)
+
+
+@register("embedding_near_dups")
+def embedding_near_dups(sf_dir: str, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    buckets (8-bit signatures) + exact verify inside each bucket — the
+    embedding analog of minhash-LSH dedup."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rng = np.random.default_rng(11)
+    planes = rng.normal(size=(8, 64))
+    bc = ray.put(planes)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        P = ray.get(bc)
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in batch.column("embedding").to_pylist()])
+        bits = (V @ P.T) > 0
+        keys = (bits * (1 << np.arange(8))).sum(axis=1).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"), "bucket": pa.array(keys),
+                         "embedding": batch.column("embedding")})
+
+    banded = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        g = group.sort_values("vec_id").reset_index(drop=True).head(512)
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in g.embedding])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Vn.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        m = sims[ia, ib] >= threshold
+        return pd.DataFrame({"vec_a": g.vec_id.values[ia[m]], "vec_b": g.vec_id.values[ib[m]],
+                             "cosine": np.round(sims[ia, ib][m], 6)})
+
+    return banded.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+@register("denoised_value_stats")
+def denoised_value_stats(sf_dir: str):
+    """M1 (WTfilt wavelet denoise) applied to each user's value series, then
+    grouped stats over the denoised channel — the denoise→aggregate chain of
+    extract_HRV (utils.py:66-79 → HRV_features.py:92)."""
+    from ..functions.wavelet import wt_denoise
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "user_id")
+        users = np.asarray(tbl.column("user_id").combine_chunks())
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        uid, dn_std, dn_zc = [], [], []
+        for s, e in zip(starts, ends):
+            d = wt_denoise(v[s:e])
+            uid.append(int(users[s]))
+            dn_std.append(float(d.std()))
+            from ..functions.stats import zero_crossings
+
+            dn_zc.append(int(zero_crossings(d)))
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "denoised_std": pa.array(np.round(dn_std, 6)),
+                         "denoised_zero_cross": pa.array(dn_zc, pa.int64())})
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)

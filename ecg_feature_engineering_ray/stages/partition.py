@@ -49,27 +49,88 @@ def with_bucket(
     key: str,
     num_buckets: int,
     hot_keys: list | None = None,
+    explicit_map: dict | None = None,
 ) -> Dataset:
     """Append an int32 ``__bucket`` column keyed by ``key``.
 
     ``hot_keys`` (optional, from :func:`detect_hot_keys`) each get their own
     bucket id ``num_buckets + i`` so one skewed entity cannot straggle a
-    shared bucket.
+    shared bucket.  ``explicit_map`` (optional, from :func:`plan_buckets`)
+    pins specific keys to specific buckets (cost-balanced packing); unmapped
+    keys fall back to the hash.
     """
     hot = {k: num_buckets + i for i, k in enumerate(hot_keys)} if hot_keys else None
 
     def assign(batch: pa.Table) -> pa.Table:
         col = batch.column(key)
         ids = _bucket_ids(col, num_buckets)
-        if hot:
+        if hot or explicit_map:
             vals = col.to_pylist()
             for i, v in enumerate(vals):
-                b = hot.get(v)
-                if b is not None:
-                    ids[i] = b
+                if explicit_map is not None and v in explicit_map:
+                    ids[i] = explicit_map[v]
+                elif hot and v in hot:
+                    ids[i] = hot[v]
         return batch.append_column(BUCKET_COL, pa.array(ids, pa.int32()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entity_counts(ds: Dataset, key: str) -> dict:
+    """Per-entity row counts via the shuffle-free partial-count pass.
+
+    Driver-side result — call on a pruned key column.  At 10^12 rows use the
+    thresholded variant (:func:`detect_hot_keys`) instead; full maps are for
+    bounded entity cardinality.
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = batch.column(key).combine_chunks().value_counts()
+        return pa.table({key: vc.field("values"), "__cnt": vc.field("counts")})
+
+    merged: dict = {}
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b.column(key).to_pylist(), b.column("__cnt").to_pylist()):
+            merged[v] = merged.get(v, 0) + c
+    return merged
+
+
+def plan_buckets(
+    counts: dict,
+    num_buckets: int,
+    heavy_frac: float = 0.25,
+    cost: "Callable[[int], float] | None" = None,
+) -> dict:
+    """Greedy LPT packing of heavy entities into balanced buckets.
+
+    Entities whose estimated cost exceeds ``heavy_frac`` × (total/num_buckets)
+    are explicitly placed on the currently least-loaded bucket (largest
+    first); light entities stay on the hash (their law-of-large-numbers sum is
+    already balanced).  Returns {key → bucket}.  This is the engine's answer
+    to hash-luck stragglers: the slowest merge task is capped near the mean
+    instead of ~3× it.
+    """
+    import heapq  # noqa: PLC0415
+
+    cost_fn = cost or (lambda n: float(n))
+    costs = {k: cost_fn(n) for k, n in counts.items()}
+    total = sum(costs.values())
+    if total == 0 or num_buckets <= 0:
+        return {}
+    threshold = heavy_frac * total / num_buckets
+    heavy = sorted((c, k) for k, c in costs.items() if c >= threshold)
+    heavy.reverse()
+    # seed heap with the expected hash load of light entities per bucket
+    light_load = (total - sum(c for c, _ in heavy)) / num_buckets
+    heap = [(light_load, b) for b in range(num_buckets)]
+    heapq.heapify(heap)
+    out: dict = {}
+    for c, k in heavy:
+        load, b = heapq.heappop(heap)
+        out[k] = b
+        heapq.heappush(heap, (load + c, b))
+    return out
 
 
 def detect_hot_keys(ds: Dataset, key: str, hot_frac: float = 0.05, max_keys: int = 64) -> list:
@@ -108,6 +169,7 @@ def grouped_sorted_apply(
     fn: Callable[[pa.Table], pa.Table],
     num_buckets: int,
     hot_keys: list | None = None,
+    explicit_map: dict | None = None,
     skip_buckets: set[int] | None = None,
     keep_bucket_col: bool = False,
     pre_shuffle_blocks: int | None = None,
@@ -130,7 +192,7 @@ def grouped_sorted_apply(
     KB-sized blocks is dominated by per-block overhead — coalescing first
     keeps the exchange proportional to data, not block count.
     """
-    bucketed = with_bucket(ds, key, num_buckets, hot_keys=hot_keys)
+    bucketed = with_bucket(ds, key, num_buckets, hot_keys=hot_keys, explicit_map=explicit_map)
     if skip_buckets:
         skip = sorted(skip_buckets)
 

@@ -1,0 +1,58 @@
+"""Feature-family pipelines vs the independent oracle (whole-history vectors
+= PIT features at as_of = +inf) and structural invariants."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ecg_feature_engineering_ray.pipelines.feature_families import (
+    HRV_NAMES,
+    LONG_NAMES,
+    QRS_NAMES,
+    SHORT_NAMES,
+    family_features,
+    join_families,
+    top_k_features_by_variance,
+)
+
+from .oracle import decode_events, oracle_feature_row
+
+
+def test_hrv_family_matches_oracle(fixture_events):
+    events_dir, _ = fixture_events
+    got = family_features(events_dir, "hrv", num_buckets=8, explode_labels=False).to_pandas()
+    ev = decode_events(events_dir)
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    # whole-history vector == oracle PIT row at as_of = end of stream
+    for eid in sorted(ev.image_id.unique())[:10]:
+        sub = ev[ev.image_id == eid].sort_values("ts_us")
+        want = oracle_feature_row(sub.ts_us.values, sub.v.values)
+        row = got[got.image_id == eid].iloc[0]
+        for name in ["sdnn", "max_rr", "min_rr", "mean_rr", "pnn50", "rmssd"]:
+            assert np.isclose(row[f"hrv_{name}"], want[name], rtol=1e-9, equal_nan=True), (eid, name)
+
+
+def test_family_shapes_and_explosion(fixture_events):
+    events_dir, _ = fixture_events
+    ev = pq.read_table(events_dir, columns=["image_id", "caption"]).to_pandas()
+    per_entity = ev.drop_duplicates("image_id")
+    expected_rows = int(per_entity.caption.str.split(",").apply(len).sum())
+
+    for fam, names in [("long", LONG_NAMES), ("qrs", QRS_NAMES), ("short", SHORT_NAMES)]:
+        df = family_features(events_dir, fam, num_buckets=8).to_pandas()
+        assert len(df) == expected_rows, fam
+        assert [c for c in df.columns if c.startswith(f"{fam}_")] == [f"{fam}_{n}" for n in names]
+        # every value finite or NaN, never inf (sentinel substitution upstream)
+        mat = df[[c for c in df.columns if c.startswith(f"{fam}_")]].to_numpy()
+        assert not np.isinf(mat).any(), fam
+
+
+def test_join_families_aligns_and_topk(fixture_events):
+    events_dir, _ = fixture_events
+    j = join_families(events_dir, ["hrv", "qrs"], num_buckets=8)
+    df = j.to_pandas()
+    assert {"image_id", "label"} <= set(df.columns)
+    assert any(c.startswith("hrv_") for c in df.columns)
+    assert any(c.startswith("qrs_") for c in df.columns)
+    top = top_k_features_by_variance(j, k=5)
+    assert len(top) == 5 and all(isinstance(c, str) for c in top)

@@ -137,3 +137,51 @@ def test_determinism_two_runs(fixture_events, fixture_queries):
     for name in PIT_FEATURE_NAMES:
         va, vb = a[name].values, b[name].values
         assert ((va == vb) | (np.isnan(va) & np.isnan(vb))).all(), name
+
+
+def test_backfill_late_fragment(fixture_events, fixture_queries, tmp_path):
+    """A late-arriving fragment invalidates exactly the touched partitions and
+    the backfilled output equals a from-scratch run over all fragments."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ecg_feature_engineering_ray.state.backfill import (
+        invalidate_for_fragments,
+        late_rows_below_watermark,
+    )
+
+    events_dir, _ = fixture_events
+    # hold back part of one fragment as the "late" arrival
+    frags = sorted(os.listdir(events_dir))
+    staged = tmp_path / "staged_events"
+    staged.mkdir()
+    for f in frags[:-1]:
+        shutil.copy(os.path.join(events_dir, f), staged)
+    late_path = tmp_path / "late.parquet"
+    pq.write_table(pq.read_table(os.path.join(events_dir, frags[-1])), str(late_path))
+
+    out_dir = str(tmp_path / "out")
+    m1 = pit_features_checkpointed(str(staged), fixture_queries, out_dir, num_buckets=8)
+    assert m1
+
+    # the held-back fragment contains rows below committed watermarks
+    assert late_rows_below_watermark(out_dir, [str(late_path)]) > 0
+
+    # late fragment lands in the dataset dir; invalidate + recompute
+    shutil.copy(str(late_path), os.path.join(str(staged), frags[-1]))
+    invalidated = invalidate_for_fragments(out_dir, [str(late_path)])
+    assert invalidated
+    m2 = pit_features_checkpointed(str(staged), fixture_queries, out_dir, num_buckets=8)
+    assert {m["bucket"] for m in m2} == invalidated
+
+    # compare to scratch run over the full data
+    scratch_dir = str(tmp_path / "scratch")
+    pit_features_checkpointed(str(staged), fixture_queries, scratch_dir, num_buckets=8)
+    key = ["image_id", "as_of_ts"]
+    a = read_output(out_dir).to_pandas().sort_values(key).reset_index(drop=True)
+    b = read_output(scratch_dir).to_pandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for name in PIT_FEATURE_NAMES:
+        va, vb = a[name].values, b[name].values
+        assert ((va == vb) | (np.isnan(va) & np.isnan(vb))).all(), name
