@@ -1,0 +1,95 @@
+"""Corpus windowing pipeline — the reference's secondary flow, streaming.
+
+The reference loads every record into driver RAM (~28 GB), slides fixed
+windows with 50% overlap (zero-padded tail), duplicates the label per
+window, oversamples per class and splits randomly — all in one process
+(/root/reference/challenge2020/preprocess/preprocess-300hz.py:88-470).
+
+Here the same semantics stream: per entity (one sorted-bucket pass) the
+value series is windowed (``fixed_windows`` + ``zero_pad``), each window
+becomes a row carrying (image_id, window_id, label, train/test split by
+deterministic hash, spectrogram-summary features); class-weighted
+oversampling is a seeded ``flat_map``.  Nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions.spectral import spectrogram_tiles
+from ..functions.transforms import zero_pad
+from ..sources.readers import read_events
+from ..stages.decode import decode_stage
+from ..stages.partition import entity_segments, grouped_sorted_apply
+from ..stages.window import fixed_windows
+
+WINDOW = 32           # rows per window  (≙ WINDOW_SIZE=18000 samples)
+OVERLAP = 16          # 50% overlap      (≙ OVERLAP_RATIO=0.5)
+TRAIN_FRACTION_BYTE = 204  # md5 first byte < 204/256 ≈ 80% train
+
+
+def _split_of(key: str) -> str:
+    return "train" if int(hashlib.md5(f"split|{key}".encode()).hexdigest()[:2], 16) < TRAIN_FRACTION_BYTE else "test"
+
+
+def corpus_windows(
+    events_dir: str,
+    num_buckets: int = 16,
+    window: int = WINDOW,
+    overlap: int = OVERLAP,
+    oversample: dict[str, int] | None = None,
+    seed: int = 5,
+) -> Dataset:
+    """One row per (entity × window × label[× oversample copy])."""
+    weights = oversample or {}
+    decoded = decode_stage(read_events(events_dir), concurrency=(1, 4))
+    decoded = decoded.select_columns(["image_id", "ts", "v", "caption"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "image_id")
+        ids = tbl.column("image_id")
+        caps = tbl.column("caption")
+        v = np.asarray(tbl.column("v").combine_chunks(), dtype=np.float64)
+        out = {"image_id": [], "window_id": [], "label": [], "split": [],
+               "n_rows": [], "v_mean": [], "spec_power": []}
+        for s, e in zip(starts, ends):
+            eid = ids[s].as_py()
+            labels = caps[s].as_py().split(",")
+            split = _split_of(eid)
+            series = v[s:e]
+            for wid, ws, we in fixed_windows(series.size, window, overlap, policy="zero"):
+                w = zero_pad(series[ws:we], window)
+                spec = spectrogram_tiles(w, nperseg=8, noverlap=4)
+                for lab in labels:  # label duplicated per window (:367-403)
+                    reps = weights.get(lab, 1)
+                    # deterministic per-(entity,window,label) oversampling
+                    h = int(hashlib.md5(f"{seed}|{eid}|{wid}|{lab}".encode()).hexdigest()[:8], 16)
+                    frac = h / 0xFFFFFFFF
+                    n_copies = int(reps) + (1 if frac < reps - int(reps) else 0)
+                    for _ in range(max(n_copies, 0)):
+                        out["image_id"].append(eid)
+                        out["window_id"].append(wid)
+                        out["label"].append(lab)
+                        out["split"].append(split)
+                        out["n_rows"].append(we - ws)
+                        out["v_mean"].append(float(w.mean()))
+                        out["spec_power"].append(float(spec.mean()))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "window_id": pa.array(out["window_id"], pa.int64()),
+                "label": pa.array(out["label"], pa.string()),
+                "split": pa.array(out["split"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "v_mean": pa.array(np.round(out["v_mean"], 6), pa.float64()),
+                "spec_power": pa.array(np.round(out["spec_power"], 6), pa.float64()),
+            }
+        )
+
+    return grouped_sorted_apply(decoded, "image_id", ["ts"], per_bucket, num_buckets,
+                                pre_shuffle_blocks=max(4, num_buckets // 2))

@@ -39,14 +39,25 @@ from .features import PIT_FEATURE_NAMES, make_pit_feature_fn
 
 
 def compute_bucket_plan(
-    events_dir: str, queries_path: str, num_buckets: int, sampen_max_n: int = 400
+    events_dir: str,
+    queries_path: str,
+    num_buckets: int,
+    sampen_max_n: int = 400,
+    max_salt: int = 8,
 ) -> dict:
-    """Cost-balanced bucket plan from shuffle-free key-column count passes.
+    """Cost-balanced bucket plan + hot-key salting from key-column count passes.
 
     Merge-stage cost model: each query pays O(min(prefix, sampen_cap)²) for
-    the SampEn kernel over its entity's event prefix.  In production this is
-    a periodic stats job whose output is reused across runs — callers may
-    compute it once and pass ``bucket_plan`` to :func:`pit_features`.
+    the SampEn kernel over its entity's event prefix.  Entities whose total
+    cost exceeds one bucket's fair share are SALTED: their queries split into
+    k salt groups (``image_id#salt`` composite keys) and their events are
+    replicated into every salt bucket, so even one enormous entity spreads
+    over up to ``max_salt`` workers — the explicit hot-key split the north
+    rule requires; LPT packing then balances the salted units.  In production
+    this is a periodic stats job whose output is reused across runs — callers
+    may compute it once and pass ``bucket_plan`` to :func:`pit_features`.
+
+    Returns ``{"plan": {skey → bucket}, "salt": {image_id → k}}``.
     """
     ev_counts = entity_counts(read_events(events_dir, columns=["image_id"]), "image_id")
     q_counts = entity_counts(ray.data.read_parquet(queries_path, columns=["image_id"]), "image_id")
@@ -54,7 +65,19 @@ def compute_bucket_plan(
         k: max(q_counts.get(k, 0), 1) * float(min(n, sampen_max_n)) ** 2 + n
         for k, n in ev_counts.items()
     }
-    return plan_buckets(cost_map, num_buckets, cost=lambda c: c)
+    total = sum(cost_map.values())
+    target = total / num_buckets if num_buckets else float("inf")
+    salt: dict = {}
+    salted_cost: dict = {}
+    for k, c in cost_map.items():
+        s = min(max_salt, max(1, int(np.ceil(c / target)))) if target > 0 else 1
+        if s > 1:
+            salt[k] = s
+            for j in range(s):
+                salted_cost[f"{k}#{j}"] = c / s
+        else:
+            salted_cost[k] = c
+    return {"plan": plan_buckets(salted_cost, num_buckets, cost=lambda c: c), "salt": salt}
 
 
 def pit_features(
@@ -82,28 +105,68 @@ def pit_features(
     # nothing here — packing still needs counts — but is accepted for API
     # compatibility (production runs pass stats from a periodic job).
     if bucket_plan is not None:
-        plan, hot = bucket_plan, None
+        cfg = bucket_plan
     elif detect_skew or hot_keys is not None:
-        plan = compute_bucket_plan(events_dir, queries_path, num_buckets, sampen_max_n)
-        hot = None  # packing subsumes dedicated hot buckets
+        cfg = compute_bucket_plan(events_dir, queries_path, num_buckets, sampen_max_n)
     else:
-        plan, hot = None, None
+        cfg = {"plan": None, "salt": {}}
+    plan, salt = cfg["plan"], cfg.get("salt", {})
     point_fn = make_pit_feature_fn(sampen_max_n)
 
-    # tag + align (see stages/asof.py): one shuffle carries both sides
+    # tag + align (see stages/asof.py): one shuffle carries both sides.
+    # Salted entities: queries are hash-split into k salt groups, events are
+    # replicated into every group — each salt bucket still sees the full
+    # event history, so results are identical; work for one hot entity
+    # spreads over k workers.
+    def _skey_left(ids: list, ts: np.ndarray) -> list:
+        if not salt:
+            return ids
+        out = []
+        for i, eid in enumerate(ids):
+            k = salt.get(eid)
+            out.append(eid if k is None else f"{eid}#{int(ts[i]) % k}")
+        return out
+
     def tag_left(b: pa.Table) -> pa.Table:
+        ts = b.column("as_of_ts").cast(pa.timestamp("us"))
+        ids = b.column("image_id").to_pylist()
+        skey = _skey_left(ids, np.asarray(ts.cast(pa.int64()).combine_chunks()))
         return pa.table(
             {
+                "__skey": pa.array(skey, pa.string()),
                 "image_id": b.column("image_id"),
-                "__ts": b.column("as_of_ts").cast(pa.timestamp("us")),
+                "__ts": ts,
                 "v": pa.nulls(b.num_rows, pa.float64()),
                 SIDE_COL: pa.array(np.ones(b.num_rows, np.int8)),
             }
         )
 
     def tag_right(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id").to_pylist()
+        if salt and any(eid in salt for eid in set(ids)):
+            idx, skeys = [], []
+            for i, eid in enumerate(ids):
+                k = salt.get(eid)
+                if k is None:
+                    idx.append(i)
+                    skeys.append(eid)
+                else:  # replicate the event into every salt bucket
+                    for j in range(k):
+                        idx.append(i)
+                        skeys.append(f"{eid}#{j}")
+            take = pa.array(idx, pa.int64())
+            return pa.table(
+                {
+                    "__skey": pa.array(skeys, pa.string()),
+                    "image_id": b.column("image_id").take(take),
+                    "__ts": b.column("ts").cast(pa.timestamp("us")).take(take),
+                    "v": b.column("v").take(take),
+                    SIDE_COL: pa.array(np.zeros(len(idx), np.int8)),
+                }
+            )
         return pa.table(
             {
+                "__skey": pa.array(ids, pa.string()),
                 "image_id": b.column("image_id"),
                 "__ts": b.column("ts").cast(pa.timestamp("us")),
                 "v": b.column("v"),
@@ -117,7 +180,7 @@ def pit_features(
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         merged = asof_merge_table(
-            tbl, "image_id", "__ts",
+            tbl, "__skey", "__ts",
             aggs={"__cnt": ("v", "count")},
             left_cols=["image_id", "__ts"],
             point_fn=point_fn,
@@ -129,8 +192,8 @@ def pit_features(
         ).drop_columns(["__cnt"])
 
     return grouped_sorted_apply(
-        unioned, "image_id", ["__ts", SIDE_COL], per_bucket, num_buckets,
-        hot_keys=hot, explicit_map=plan, pre_shuffle_blocks=max(8, num_buckets // 2),
+        unioned, "__skey", ["__ts", SIDE_COL], per_bucket, num_buckets,
+        explicit_map=plan, pre_shuffle_blocks=max(8, num_buckets // 2),
     )
 
 

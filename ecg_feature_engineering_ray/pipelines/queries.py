@@ -1415,3 +1415,74 @@ def denoised_value_stats(sf_dir: str):
                          "denoised_zero_cross": pa.array(dn_zc, pa.int64())})
 
     return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register("corpus_windows")
+def corpus_windows_q(sf_dir: str):
+    """E5/O5/O2: streaming corpus windowing (fixed windows, 50% overlap,
+    zero-pad tail) + per-class oversampling + deterministic hash split
+    (≙ preprocess-300hz.py end-to-end, without the 28 GB driver array)."""
+    from .corpus_windows import corpus_windows
+
+    events_dir, _ = _fixture(sf_dir)
+    return corpus_windows(events_dir, num_buckets=NB,
+                          oversample={"AF": 2, "Normal": 1, "STE": 3})
+
+
+@register("custom_featurespec")
+def custom_featurespec(sf_dir: str):
+    """§2.10 user-extension surface: plain-numpy UDF FeatureSpecs fused into
+    one bucket pass (entity + session scopes)."""
+    from ..api import FeatureSpec, extract_features
+
+    events_dir, _ = _fixture(sf_dir)
+    specs = [
+        FeatureSpec("v_mean", lambda s: s["v"].mean()),
+        FeatureSpec("v_p90", lambda s: np.percentile(s["v"], 90)),
+        FeatureSpec("u_max_ms", lambda s: s["u"].max() if s["u"].size else np.nan, inputs=("u",)),
+        FeatureSpec("sess_len", lambda s: float(s["v"].size), scope="session"),
+    ]
+    return extract_features(events_dir, specs, num_buckets=NB)
+
+
+@register("label_dim_join")
+def label_dim_join(sf_dir: str):
+    """S4/J2: CSV dimension table (label → code, weight ≙ REFERENCE.csv,
+    preprocess-300hz.py:127-152) broadcast-joined to exploded captions."""
+    import ray.data as rd
+
+    from ..functions.transforms import LABEL_VOCAB
+    from ..sources.readers import read_events
+
+    events_dir, _ = _fixture(sf_dir)
+    csv_path = os.path.join(os.path.dirname(events_dir), "labels.csv")
+    if not os.path.exists(csv_path):
+        weights = [1.0, 1.0, 1.2, 5.0, 0.7, 2.0, 1.5, 1.2, 5.0]
+        with open(csv_path, "w") as f:
+            f.write("label,code,weight\n")
+            for i, (name, w) in enumerate(zip(LABEL_VOCAB, weights), start=1):
+                f.write(f"{name},{i},{w}\n")
+    dim = pa.concat_tables(
+        [pa.table(b) for b in rd.read_csv(csv_path).iter_batches(batch_format="pyarrow")]
+    )
+
+    ds = read_events(events_dir, columns=["image_id", "caption"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("caption"), ",")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(batch.num_rows), n)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id").take(pa.array(idx)),
+                "label": pc.list_flatten(toks),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    joined = broadcast_join(exploded, dim, on="label", how="inner")
+    return grouped_agg(
+        joined, ["label"],
+        {"code": ("code", "min"), "n_rows": ("*", "count"), "total_weight": ("weight", "sum_cents")},
+        round_to=6,
+    )

@@ -15,12 +15,19 @@ down to the key + order + value columns first (images' ``bytes`` never enter
 the shuffle — see pipelines.flagship).
 
 Hot-key (skew) handling: the reference has no analog (its skew is "the
-longest ECG record just takes longer", SURVEY.md §4).  Here a sampled
-partial-count pre-pass finds entities holding more than ``hot_frac`` of all
-rows and routes each to a DEDICATED bucket.  Order statistics (percentiles,
-sample entropy) are not mergeable across salted sub-splits, so a hot entity
-is isolated rather than split; mergeable aggregates may additionally use
-salted partial aggregation (see stages.window.partial_agg).
+longest ECG record just takes longer", SURVEY.md §4).  Three escalating
+tools, all fed by the shuffle-free partial-count pre-pass:
+
+1. ``detect_hot_keys`` — entities above ``hot_frac`` of rows get a DEDICATED
+   bucket (no shared-bucket straggling);
+2. ``plan_buckets`` — greedy LPT packing of heavy entities into balanced
+   buckets (hash for the light tail);
+3. query-split salting (pipelines/flagship.py) — an entity too heavy for ONE
+   bucket has its queries hash-split into k salt groups with its events
+   replicated into each, so per-(entity, as-of) order statistics stay exact
+   while the work spreads over k workers.  Entity-level order statistics
+   (a single percentile over ALL of one entity's rows) are not mergeable
+   across salts and keep using 1+2 only.
 """
 
 from __future__ import annotations

@@ -185,3 +185,24 @@ def test_backfill_late_fragment(fixture_events, fixture_queries, tmp_path):
     for name in PIT_FEATURE_NAMES:
         va, vb = a[name].values, b[name].values
         assert ((va == vb) | (np.isnan(va) & np.isnan(vb))).all(), name
+
+
+def test_salting_splits_hot_entity_and_stays_correct(fixture_events, fixture_queries, oracle_result):
+    """Forcing aggressive salting (tiny cost target via huge bucket count)
+    must split the hot entity's queries across salt groups and still match
+    the oracle exactly."""
+    from ecg_feature_engineering_ray.pipelines.flagship import compute_bucket_plan
+
+    events_dir, manifest = fixture_events
+    cfg = compute_bucket_plan(events_dir, fixture_queries, num_buckets=64, max_salt=4)
+    assert cfg["salt"].get(manifest["hot_entity"], 1) > 1, "hot entity must be salted"
+
+    got = pit_features(
+        events_dir, fixture_queries, num_buckets=64, bucket_plan=cfg
+    ).to_pandas()
+    key = ["image_id", "as_of_ts"]
+    e = got.sort_values(key).reset_index(drop=True)
+    o = oracle_result.sort_values(key).reset_index(drop=True)
+    assert len(e) == len(o)
+    for name in PIT_FEATURE_NAMES:
+        assert np.allclose(e[name].values, o[name].values, rtol=1e-9, atol=1e-12, equal_nan=True), name

@@ -1,0 +1,63 @@
+"""Streaming ring-buffer stage vs the batch sorted-bucket engine.
+
+With allowed lateness covering the fixture's out-of-order plant, every row
+is emitted and the streaming lag/session values must equal the batch
+engine's (computed on fully sorted data).  With zero lateness, genuinely
+late rows are counted dropped."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ecg_feature_engineering_ray.sources.readers import read_events
+from ecg_feature_engineering_ray.stages.decode import decode_stage
+from ecg_feature_engineering_ray.stages.streaming import streaming_lag_sessionize
+
+
+def _decoded_arrival_order(events_dir):
+    # decode in arrival order (fragments preserve arrival; no sort anywhere)
+    ds = decode_stage(read_events(events_dir), concurrency=1, batch_size=512)
+    return ds.select_columns(["image_id", "ts", "v"])
+
+
+def _batch_reference(tbl: pa.Table) -> pd.DataFrame:
+    df = tbl.to_pandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    df["lag_ms"] = df.groupby("image_id").ts.diff().dt.total_seconds() * 1000.0
+    df["v_lag1"] = df.groupby("image_id").v.shift(1)
+    gap = df.groupby("image_id").ts.diff().dt.total_seconds() > 30.0
+    df["session_id"] = gap.fillna(False).groupby(df.image_id).cumsum().astype(int)
+    return df
+
+
+def test_streaming_matches_batch_with_lateness(fixture_events):
+    events_dir, _ = fixture_events
+    ds = _decoded_arrival_order(events_dir)
+    raw = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+
+    # generous lateness — the whole stream replays, nothing dropped
+    got, late = streaming_lag_sessionize(
+        ray.data.from_arrow(raw), num_actors=3, allowed_lateness_us=10**15
+    )
+    assert late == 0
+    assert got.num_rows == raw.num_rows
+
+    want = _batch_reference(raw)
+    g = got.to_pandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    assert (g.image_id.values == want.image_id.values).all()
+    assert np.allclose(g.lag_ms.values, want.lag_ms.values, equal_nan=True)
+    assert np.allclose(g.v_lag1.values, want.v_lag1.values, equal_nan=True)
+    assert (g.session_id.values == want.session_id.values).all()
+
+
+def test_streaming_zero_lateness_drops_late_rows(fixture_events):
+    events_dir, _ = fixture_events
+    ds = _decoded_arrival_order(events_dir)
+    raw = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    got, late = streaming_lag_sessionize(
+        ray.data.from_arrow(raw), num_actors=3, allowed_lateness_us=0
+    )
+    # the fixture plants ~10% out-of-order rows → some must be dropped
+    assert late > 0
+    assert got.num_rows + late >= raw.num_rows
