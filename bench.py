@@ -47,7 +47,7 @@ PROFILES = {
     },
     "scaling": {
         "entities": 400,
-        "queries": 144000,
+        "queries": 96000,
         "median_events": 800,
         "sigma": 0.3,
         "dims": (32,),
