@@ -26,8 +26,10 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..functions.codec import decode_image, encode_image, mean_luminance, phash64, psnr
+from ..functions.text import hamming64
 
 PSNR_MIN_DB = 40.0
+PHASH_MAX_HAMMING_LOSSY = 6  # aHash bits near the mean can flip under quantization
 
 
 class DecodeValidate:
@@ -62,7 +64,11 @@ class DecodeValidate:
                     px2, _ = decode_image(encode_image(px, "jpeg"))
                     ok[i] = dec_fmt == "jpeg" and psnr(px, px2) >= self.psnr_min_db
                 if ok[i] and self.verify_phash:
-                    ok[i] = phash64(px) == int(stored_ph[i])
+                    ph = phash64(px)
+                    if fmt == "png":
+                        ok[i] = ph == int(stored_ph[i])
+                    else:  # lossy: decoded pixels may flip near-threshold bits
+                        ok[i] = hamming64(ph, int(stored_ph[i])) <= PHASH_MAX_HAMMING_LOSSY
             except Exception:
                 v[i] = np.nan
                 self.n_bad += 1
