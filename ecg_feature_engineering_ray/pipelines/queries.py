@@ -1486,3 +1486,56 @@ def label_dim_join(sf_dir: str):
         {"code": ("code", "min"), "n_rows": ("*", "count"), "total_weight": ("weight", "sum_cents")},
         round_to=6,
     )
+
+
+@register(
+    "asof_windowed_features",
+    """
+    SELECT q.event_id,
+           count(e.ts) AS w_n,
+           ROUND(avg(ROUND(e.value * 100)) / 100, 6) AS w_mean,
+           ROUND(max(e.value), 6) AS w_max
+    FROM (SELECT * FROM events WHERE event_type = 'error') q
+    LEFT JOIN (SELECT * FROM events WHERE event_type <> 'error') e
+      ON e.user_id = q.user_id AND e.ts <= q.ts
+         AND e.ts >= q.ts - INTERVAL 2 HOUR
+    GROUP BY q.event_id
+    """,
+)
+def asof_windowed_features(sf_dir: str):
+    """Bounded-lookback point-in-time aggregates: features over the 2 h
+    window ending at each error event (w* agg family — the PIT feature-store
+    staple the reference's whole-record stats generalize to)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type", "value"])
+    left = ds.filter(expr="event_type == 'error'").select_columns(["user_id", "ts", "event_id"])
+    right = ds.filter(expr="event_type != 'error'").select_columns(["user_id", "ts", "value"])
+    right = right.map_batches(
+        lambda b: b.append_column(
+            "value_c", pa.array(np.rint(np.asarray(b.column("value").combine_chunks()) * 100))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        aggs={
+            "w_n": ("value_c", "wcount"),
+            "w_mean_c": ("value_c", "wmean"),
+            "w_max": ("value", "wmax"),
+        },
+        left_cols=["event_id"], num_buckets=NB,
+        window_us=2 * 3600 * 1_000_000,
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        mean_c = np.asarray(batch.column("w_mean_c").combine_chunks().fill_null(np.nan), dtype=np.float64)
+        wmax = np.asarray(batch.column("w_max").combine_chunks().fill_null(np.nan), dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "w_n": batch.column("w_n"),
+                "w_mean": pa.array(rnd(mean_c / 100), pa.float64()),
+                "w_max": pa.array(rnd(wmax), pa.float64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)

@@ -38,7 +38,8 @@ from ray.data import Dataset
 from .partition import entity_segments, grouped_sorted_apply
 
 SIDE_COL = "__side"
-SUPPORTED_AGGS = ("count", "sum", "mean", "min", "max", "last")
+SUPPORTED_AGGS = ("count", "sum", "mean", "min", "max", "last",
+                  "wcount", "wsum", "wmean", "wmin", "wmax")
 
 
 def _as_numpy(col: pa.ChunkedArray) -> np.ndarray:
@@ -60,13 +61,16 @@ def asof_merge_table(
     point_fn: Callable[[dict[str, np.ndarray]], np.ndarray] | None = None,
     point_out: list[str] | None = None,
     value_cols: list[str] | None = None,
+    window_us: int | None = None,
 ) -> pa.Table:
     """Monotone merge over ONE bucket table sorted by (key, ts, side).
 
     ``aggs`` maps out_name → (right_value_col, fn) with fn in
-    ``SUPPORTED_AGGS``.  ``point_fn`` (optional) receives the event-prefix
-    arrays {col → values} of one query and returns a fixed-length float
-    vector named by ``point_out``.
+    ``SUPPORTED_AGGS``; the ``w*`` variants aggregate over the BOUNDED
+    lookback ``[as_of − window_us, as_of]`` instead of the whole prefix
+    (SQL analog: range-predicated join).  ``point_fn`` (optional) receives
+    the event-prefix arrays {col → values} of one query and returns a
+    fixed-length float vector named by ``point_out``.
     """
     side = np.asarray(tbl.column(SIDE_COL).combine_chunks())
     ts = np.asarray(tbl.column(ts_col).cast(pa.int64()).combine_chunks())
@@ -74,10 +78,10 @@ def asof_merge_table(
     vals = {c: _as_numpy(tbl.column(c)) for c in needed}
     # output dtype per agg: exact (source dtype) for last/min/max, float64 otherwise
     def _out_type(src: str, fn: str) -> pa.DataType:
-        if fn in ("last", "min", "max"):
+        if fn in ("last", "min", "max", "wmin", "wmax"):
             t = tbl.schema.field(src).type
             return pa.int64() if (pa.types.is_integer(t) or pa.types.is_timestamp(t)) else pa.float64()
-        return pa.int64() if fn == "count" else pa.float64()
+        return pa.int64() if fn in ("count", "wcount") else pa.float64()
 
     starts, ends = entity_segments(tbl, key)
     out_left_idx: list[np.ndarray] = []
@@ -92,9 +96,16 @@ def asof_merge_table(
             continue
         ev_local = np.flatnonzero(seg_side == 0)
         ev_ts = ts[s:e][ev_local]
-        pos = np.searchsorted(ev_ts, ts[s:e][q_local], side="right")
+        q_ts = ts[s:e][q_local]
+        pos = np.searchsorted(ev_ts, q_ts, side="right")
+        pos_lo = (
+            np.searchsorted(ev_ts, q_ts - window_us, side="left")
+            if window_us is not None
+            else np.zeros_like(pos)
+        )
         out_left_idx.append(q_local + s)
         has = pos > 0
+        whas = pos > pos_lo
         safe_pos = np.maximum(pos - 1, 0)
 
         ev_vals = {c: vals[c][s:e][ev_local] for c in needed}
@@ -104,6 +115,26 @@ def asof_merge_table(
             if fn == "count":
                 res = pos.astype(np.int64)
                 valid = np.ones_like(has)
+            elif fn == "wcount":
+                res = (pos - pos_lo).astype(np.int64)
+                valid = np.ones_like(has)
+            elif fn in ("wsum", "wmean"):
+                cs = np.concatenate(([0.0], np.cumsum(v.astype(np.float64))))
+                res = cs[pos] - cs[pos_lo]
+                valid = whas
+                if fn == "wmean":
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        res = np.where(whas, res / np.maximum(pos - pos_lo, 1), np.nan)
+            elif fn in ("wmin", "wmax"):
+                # per-query slice extrema: bounded windows are short by design
+                res = np.empty(pos.size, dtype=v.dtype if v.size else np.float64)
+                valid = whas.copy()
+                for j in range(pos.size):
+                    if whas[j]:
+                        sl = v[pos_lo[j] : pos[j]]
+                        res[j] = sl.min() if fn == "wmin" else sl.max()
+                    else:
+                        res[j] = 0
             elif fn in ("sum", "mean"):
                 cs = np.concatenate(([0.0], np.cumsum(v.astype(np.float64))))
                 res = cs[pos]
@@ -171,6 +202,7 @@ def asof_join(
     point_fn: Callable | None = None,
     point_out: list[str] | None = None,
     value_cols: list[str] | None = None,
+    window_us: int | None = None,
 ) -> Dataset:
     """Distributed point-in-time join of two Datasets (see module docstring)."""
     needed_right = sorted({src for src, _ in aggs.values()} | set(value_cols or []))
@@ -207,6 +239,7 @@ def asof_join(
         merged = asof_merge_table(
             sorted_tbl, key, "__ts", aggs, out_cols,
             point_fn=point_fn, point_out=point_out, value_cols=value_cols,
+            window_us=window_us,
         )
         return merged.rename_columns(
             [left_ts if c == "__ts" else c for c in merged.column_names]

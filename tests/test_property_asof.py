@@ -119,3 +119,32 @@ def test_window_kernels_match_pandas(case, k):
     got_pm = prefix_mean(v, rs)
     want_pm = df.groupby("e").v.expanding().mean().reset_index(level=0, drop=True).values
     assert np.allclose(got_pm, want_pm)
+
+
+@settings(max_examples=100, deadline=None)
+@given(asof_case(), st.integers(1, 20))
+def test_windowed_asof_matches_brute_force(case, window):
+    events, queries = case
+    tbl = _build_table(events, queries)
+    out = asof_merge_table(
+        tbl, "k", "__ts",
+        aggs={"wn": ("v", "wcount"), "ws": ("v", "wsum"), "wmx": ("v", "wmax")},
+        left_cols=["k", "__ts"],
+        window_us=window,
+    )
+    got = out.to_pandas()
+    got["ts_us"] = got["__ts"].astype("datetime64[us]").astype("int64")
+    got = got.sort_values(["k", "ts_us"]).reset_index(drop=True)
+    want = []
+    for e, t in sorted(queries):
+        win = [v for (ee, tt, v) in events if ee == e and t - window <= tt <= t]
+        want.append((e, t, len(win), sum(win) if win else None, max(win) if win else None))
+    want.sort(key=lambda r: (r[0], r[1]))
+    assert len(got) == len(want)
+    for i, (e, t, n, s, mx) in enumerate(want):
+        row = got.iloc[i]
+        assert row["k"] == e and row["ts_us"] == t and row["wn"] == n
+        if n == 0:
+            assert np.isnan(row["ws"]) and np.isnan(row["wmx"])
+        else:
+            assert np.isclose(row["ws"], s) and np.isclose(row["wmx"], mx)
