@@ -36,3 +36,17 @@ def test_decode_flags_phash_mismatch_plants(fixture_events):
     assert bad_entities <= planted
     # derived value channel is sane
     assert out.v.between(0, 1).all()
+
+
+def test_caption_survives_decode_exactly(fixture_events):
+    """FIXTURES invariant 2: caption strings survive the pipeline bitwise."""
+    import pyarrow.parquet as pq
+
+    events_dir, _ = fixture_events
+    src = pq.read_table(events_dir, columns=["image_id", "ts", "caption"]).to_pandas()
+    out = decode_stage(read_events(events_dir), concurrency=1).to_pandas()
+    key = ["image_id", "ts"]
+    a = src.sort_values(key).reset_index(drop=True)
+    b = out[["image_id", "ts", "caption"]].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a.caption.values == b.caption.values).all()
