@@ -1539,3 +1539,46 @@ def asof_windowed_features(sf_dir: str):
         )
 
     return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "rolling_time_window",
+    """
+    SELECT event_id,
+           count(*) OVER w AS tw_n,
+           ROUND(avg(ROUND(value * 100)) OVER w / 100, 6) AS tw_mean
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_time_window(sf_dir: str):
+    """Time-based rolling window (SQL RANGE frame): per row, stats over the
+    user's events in the trailing 1 h — searchsorted lower bound + prefix
+    sums, fully vectorized per bucket."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    win_us = 3600 * 1_000_000
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "user_id")
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        v = np.rint(np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64) * 100)
+        n_out = np.empty(tbl.num_rows, dtype=np.int64)
+        m_out = np.empty(tbl.num_rows, dtype=np.float64)
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            cs = np.concatenate(([0.0], np.cumsum(v[s:e])))
+            lo = np.searchsorted(t, t - win_us, side="left")
+            hi = np.arange(t.size) + 1
+            cnt = hi - lo
+            n_out[s:e] = cnt
+            m_out[s:e] = (cs[hi] - cs[lo]) / cnt / 100.0
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "tw_n": pa.array(n_out),
+                "tw_mean": pa.array(rnd(m_out)),
+            }
+        )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
