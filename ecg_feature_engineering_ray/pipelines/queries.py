@@ -195,8 +195,8 @@ WITH flags AS (
   FROM events
 ), sess AS (
   SELECT user_id, ts, event_id, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM flags
 )
 """
@@ -221,9 +221,9 @@ def session_table(sf_dir: str):
         starts, ends = session_segments(tbl, "user_id", "ts", gap_us=SESSION_GAP_S * 1_000_000)
         users = np.asarray(tbl.column("user_id").combine_chunks())
         ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
-        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
-        estarts, _ = entity_segments(tbl, "user_id")
-        entity_first = {int(users[s]): s for s in estarts}
+        # integer cents → exact, order-independent sums (matches the oracle's
+        # sum(ROUND(value*100))/100; round-1 float-parity lesson)
+        vc = np.rint(np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64) * 100)
         uid, sid, n_ev, t0, t1, sv = [], [], [], [], [], []
         cur_user, cur_sid = None, -1
         for s, e in zip(starts, ends):
@@ -237,7 +237,7 @@ def session_table(sf_dir: str):
             n_ev.append(e - s)
             t0.append(int(ts[s]))
             t1.append(int(ts[e - 1]))
-            sv.append(v[s:e].sum())
+            sv.append(vc[s:e].sum() / 100.0)
         return pa.table(
             {
                 "user_id": pa.array(uid, pa.int64()),
@@ -827,7 +827,7 @@ def doc_token_stats(sf_dir: str):
 @register(
     "lang_source_counts",
     """
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang, source
     """,
 )

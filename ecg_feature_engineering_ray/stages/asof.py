@@ -42,6 +42,33 @@ SUPPORTED_AGGS = ("count", "sum", "mean", "min", "max", "last",
                   "wcount", "wsum", "wmean", "wmin", "wmax")
 
 
+def _range_extrema(v: np.ndarray, lo: np.ndarray, hi: np.ndarray, kind: str) -> np.ndarray:
+    """Vectorized range min/max over ``v`` for query windows ``[lo, hi)``.
+
+    Sparse-table RMQ: O(n log n) precompute, O(1) per query, no Python loop
+    over queries (only over the ≤ log2(n) distinct window-size classes).
+    All windows must be non-empty (``hi > lo``) — caller masks empties.
+    """
+    op = np.minimum if kind == "min" else np.maximum
+    n = v.size
+    st = [v]
+    k = 1
+    while (1 << k) <= n:
+        half = 1 << (k - 1)
+        prev = st[-1]
+        m = n - (1 << k) + 1
+        st.append(op(prev[:m], prev[half : half + m]))
+        k += 1
+    w = (hi - lo).astype(np.float64)
+    ks = np.frexp(w)[1] - 1  # floor(log2(width)), width >= 1
+    out = np.empty(lo.size, dtype=v.dtype)
+    for kk in np.unique(ks):
+        mask = ks == kk
+        t = st[kk]
+        out[mask] = op(t[lo[mask]], t[hi[mask] - (1 << int(kk))])
+    return out
+
+
 def _as_numpy(col: pa.ChunkedArray) -> np.ndarray:
     """Native-dtype numpy view of a numeric/timestamp column (no precision loss)."""
     if pa.types.is_timestamp(col.type):
@@ -126,15 +153,14 @@ def asof_merge_table(
                     with np.errstate(invalid="ignore", divide="ignore"):
                         res = np.where(whas, res / np.maximum(pos - pos_lo, 1), np.nan)
             elif fn in ("wmin", "wmax"):
-                # per-query slice extrema: bounded windows are short by design
-                res = np.empty(pos.size, dtype=v.dtype if v.size else np.float64)
+                # vectorized windowed extrema via sparse-table RMQ
+                res = np.zeros(pos.size, dtype=v.dtype if v.size else np.float64)
                 valid = whas.copy()
-                for j in range(pos.size):
-                    if whas[j]:
-                        sl = v[pos_lo[j] : pos[j]]
-                        res[j] = sl.min() if fn == "wmin" else sl.max()
-                    else:
-                        res[j] = 0
+                if v.size and whas.any():
+                    qi = np.flatnonzero(whas)
+                    res[qi] = _range_extrema(
+                        v, pos_lo[qi], pos[qi], "min" if fn == "wmin" else "max"
+                    )
             elif fn in ("sum", "mean"):
                 cs = np.concatenate(([0.0], np.cumsum(v.astype(np.float64))))
                 res = cs[pos]

@@ -6,6 +6,10 @@ shuffle (SURVEY.md §2.5 J2/J4).  Use for dimension tables (labels, skip
 lists, key sets); the as-of join (stages/asof.py) covers the big×big keyed
 case.
 
+All per-batch work is vectorized Arrow kernels (``pc.is_in`` membership,
+``pc.index_in`` + ``take`` gather) — no pandas conversion and no Python loop
+over rows in the hot path.
+
 Reference analogs: positional record↔label lookup
 (/root/reference/challenge2020/preprocess/preprocess-300hz.py:142-152) and
 the ``index2del`` skip list (:93-99).
@@ -13,9 +17,8 @@ the ``index2del`` skip list (:93-99).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -33,34 +36,40 @@ def broadcast_join(
 
     how ∈ {'inner', 'left', 'semi', 'anti'}.  For semi/anti only membership
     is broadcast.  Assumes ``on`` is unique in ``small`` for inner/left
-    (dimension-table contract) — duplicate keys raise.
+    (dimension-table contract) — duplicate keys raise.  Row order of ``big``
+    is preserved (first-match gather, not a sort-merge).
     """
     if how in ("semi", "anti"):
-        key_set = ray.put(set(small.column(on).to_pylist()))
+        key_set = ray.put(small.column(on).combine_chunks().unique())
 
         def member_filter(batch: pa.Table) -> pa.Table:
             keys = ray.get(key_set)
-            col = batch.column(on).to_pylist()
-            mask = np.fromiter((v in keys for v in col), bool, len(col))
+            mask = pc.is_in(batch.column(on), value_set=keys)
             if how == "anti":
-                mask = ~mask
-            return batch.filter(pa.array(mask))
+                # is_in yields null for null probes; anti keeps non-members only
+                mask = pc.invert(pc.fill_null(mask, False))
+            else:
+                mask = pc.fill_null(mask, False)
+            return batch.filter(mask)
 
         return big.map_batches(member_filter, batch_format="pyarrow", zero_copy_batch=True)
 
-    keys = small.column(on).to_pylist()
-    if len(set(keys)) != len(keys):
+    key_arr = small.column(on).combine_chunks()
+    if len(key_arr.unique()) != len(key_arr):
         raise ValueError(f"broadcast_join: duplicate keys in small side on {on!r}")
     cols = small_cols or [c for c in small.column_names if c != on]
-    small_df = small.select([on] + cols).to_pandas().set_index(on)
-    small_ref = ray.put(small_df)
+    small_ref = ray.put(small.select([on] + cols).combine_chunks())
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        sdf = ray.get(small_ref)
-        bdf = batch.to_pandas()
+        stbl = ray.get(small_ref)
+        idx = pc.index_in(batch.column(on), value_set=stbl.column(on))
         if how == "inner":
-            bdf = bdf[bdf[on].isin(sdf.index).values]
-        out = bdf.join(sdf, on=on, how="left", rsuffix=suffix)
-        return pa.Table.from_pandas(out, preserve_index=False)
+            valid = pc.is_valid(idx)
+            batch = batch.filter(valid)
+            idx = idx.filter(valid)
+        for c in cols:
+            name = c if c not in batch.column_names else c + suffix
+            batch = batch.append_column(name, stbl.column(c).take(idx))
+        return batch
 
     return big.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -66,18 +66,25 @@ def with_bucket(
     pins specific keys to specific buckets (cost-balanced packing); unmapped
     keys fall back to the hash.
     """
-    hot = {k: num_buckets + i for i, k in enumerate(hot_keys)} if hot_keys else None
+    # combined override map (explicit placement wins over hot-key buckets)
+    override = dict({k: num_buckets + i for i, k in enumerate(hot_keys)} if hot_keys else {})
+    if explicit_map:
+        override.update(explicit_map)
 
     def assign(batch: pa.Table) -> pa.Table:
         col = batch.column(key)
         ids = _bucket_ids(col, num_buckets)
-        if hot or explicit_map:
-            vals = col.to_pylist()
-            for i, v in enumerate(vals):
-                if explicit_map is not None and v in explicit_map:
-                    ids[i] = explicit_map[v]
-                elif hot and v in hot:
-                    ids[i] = hot[v]
+        if override:
+            # vectorized override: dictionary-encode → LUT over the batch's
+            # UNIQUE keys only (the skewed-run hot path; no per-row Python)
+            d = col.combine_chunks().dictionary_encode()
+            idx = np.asarray(d.indices)
+            lut = np.fromiter(
+                (override.get(v, -1) for v in d.dictionary.to_pylist()),
+                dtype=np.int64, count=len(d.dictionary),
+            )
+            mapped = lut[idx]
+            ids = np.where(mapped >= 0, mapped, ids)
         return batch.append_column(BUCKET_COL, pa.array(ids, pa.int32()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

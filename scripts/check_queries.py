@@ -52,6 +52,13 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> list[str]:
     if sorted(ray_df.columns) != sorted(ora_df.columns):
         problems.append(f"schema ray={sorted(ray_df.columns)} oracle={sorted(ora_df.columns)}")
         return problems
+    # driver's hash is dtype-sensitive: int64 42 vs float64 42.0 mismatch —
+    # flag kind differences BEFORE the value-compare coercion
+    for c in sorted(ray_df.columns):
+        ka = "f" if pd.api.types.is_float_dtype(ray_df[c]) else ("i" if pd.api.types.is_integer_dtype(ray_df[c]) else None)
+        kb = "f" if pd.api.types.is_float_dtype(ora_df[c]) else ("i" if pd.api.types.is_integer_dtype(ora_df[c]) else None)
+        if ka is not None and kb is not None and ka != kb:
+            problems.append(f"col {c}: dtype kind ray={ray_df[c].dtype} oracle={ora_df[c].dtype} (driver hash mismatch)")
     a, b = normalize(ray_df), normalize(ora_df)
     if len(a) == len(b):
         for c in a.columns:
