@@ -897,6 +897,28 @@ def minhash_signatures(sf_dir: str):
 KNN_THRESHOLD = 0.3
 N_KNN_QUERIES = 10
 
+
+def _emb_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """Zero-copy-ish (n, dim) float64 matrix from a list<float> column.
+
+    ``flatten()`` respects list offsets; one contiguous cast instead of a
+    per-row ``to_pylist`` + ``vstack``."""
+    arr = col.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _query_matrix(ds, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, L2-normalized rows) of the first ``n`` vectors (broadcast side)."""
+    qtbl = pa.concat_tables(
+        [pa.table(b) for b in ds.filter(expr=f"vec_id < {n}").iter_batches(batch_format="pyarrow")]
+    )
+    q_ids = np.asarray(qtbl.column("vec_id").combine_chunks())
+    Q = _emb_matrix(qtbl.column("embedding"))
+    order = np.argsort(q_ids, kind="stable")
+    q_ids, Q = q_ids[order], Q[order]
+    return q_ids, Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
 @register(
     "knn_neighbor_counts",
     f"""
@@ -919,17 +941,12 @@ def knn_neighbor_counts(sf_dir: str):
     """Brute-force cosine similarity: query matrix broadcast via ray.put,
     per-batch float64 matmul (the ANN baseline)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qtbl = pa.concat_tables(
-        [pa.table(b) for b in ds.filter(expr=f"vec_id < {N_KNN_QUERIES}").iter_batches(batch_format="pyarrow")]
-    )
-    q_ids = np.asarray(qtbl.column("vec_id").combine_chunks())
-    Q = np.vstack([np.asarray(x, dtype=np.float64) for x in qtbl.column("embedding").to_pylist()])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids, Qn = _query_matrix(ds, N_KNN_QUERIES)
     q_ref = ray.put((q_ids, Qn))
 
     def counts(batch: pa.Table) -> pa.Table:
         ids, Qn_ = ray.get(q_ref)
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in batch.column("embedding").to_pylist()])
+        V = _emb_matrix(batch.column("embedding"))
         vids = np.asarray(batch.column("vec_id").combine_chunks())
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         sims = Qn_ @ Vn.T  # (n_q, n_batch)
@@ -966,9 +983,28 @@ def embedding_label_stats(sf_dir: str):
 # non-SQL-expressible operators (rows-only driver check)
 # ---------------------------------------------------------------------------
 
-@register("simhash_docs")
+@register(
+    "simhash_docs",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok),
+    bits AS (
+      SELECT doc_id, i.i AS bit,
+             sum(CASE WHEN (hv >> CAST(i.i AS UTINYINT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM h, range(0, 64) i(i)
+      GROUP BY doc_id, i.i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN acc > 0 THEN
+                      CASE WHEN bit = 0 THEN CAST(-9223372036854775808 AS HUGEINT)
+                           ELSE CAST(CAST(1 AS BIGINT) << CAST(63 - bit AS INT) AS HUGEINT) END
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def simhash_docs(sf_dir: str):
-    """SimHash near-dup fingerprints (bitwise majority vote — not SQL)."""
+    """SimHash near-dup fingerprints: per bit of md5-u64(token), majority
+    vote over tokens; MSB-first packing, signed int64 (two's complement)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sh(batch: pa.Table) -> pa.Table:
@@ -983,9 +1019,53 @@ def simhash_docs(sf_dir: str):
     return ds.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
 
 
-@register("doc_quality_lang")
+@register(
+    "doc_quality_lang",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    lscore AS (
+      SELECT doc_id,
+        avg(CASE WHEN lower(t) IN ('the','a','of','and','to','in','is','that','it','for')
+                 THEN 1.0 ELSE 0.0 END) AS s_en,
+        avg(CASE WHEN lower(t) IN ('der','die','das','und','ist','nicht','ein','zu','mit','von')
+                 THEN 1.0 ELSE 0.0 END) AS s_de,
+        avg(CASE WHEN lower(t) IN ('le','la','les','de','et','est','un','une','que','pour')
+                 THEN 1.0 ELSE 0.0 END) AS s_fr,
+        avg(CASE WHEN lower(t) IN ('el','la','los','de','y','es','un','una','que','por')
+                 THEN 1.0 ELSE 0.0 END) AS s_es
+      FROM tok GROUP BY doc_id
+    ),
+    wstats AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN length(t) > 8 THEN 1 + (length(t) - 5) // 4 ELSE 1 END) AS BIGINT)
+          AS bpe_tokens,
+        avg(CAST(length(t) AS DOUBLE)) FILTER (WHERE t <> '') AS mean_wl,
+        count(*) FILTER (WHERE t <> '') AS n_live
+      FROM tok GROUP BY doc_id
+    ),
+    cstats AS (
+      SELECT doc_id, length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_alpha
+      FROM documents
+    )
+    SELECT d.doc_id,
+      CASE WHEN greatest(l.s_en, l.s_de, l.s_fr, l.s_es) = 0 THEN 'und'
+           WHEN l.s_en >= l.s_de AND l.s_en >= l.s_fr AND l.s_en >= l.s_es THEN 'en'
+           WHEN l.s_de >= l.s_fr AND l.s_de >= l.s_es THEN 'de'
+           WHEN l.s_fr >= l.s_es THEN 'fr' ELSE 'es' END AS lang_pred,
+      CASE WHEN c.n_chars = 0 OR w.n_live = 0 THEN 0.0
+           ELSE ROUND(LEAST(
+             (CASE WHEN c.n_chars BETWEEN 50 AND 100000 THEN 0.4 ELSE 0.1 END)
+             + (CASE WHEN w.mean_wl BETWEEN 3 AND 12 THEN 0.3 ELSE 0.05 END)
+             + 0.3 * (CAST(c.n_alpha AS DOUBLE) / c.n_chars), 1.0), 6) END AS quality,
+      w.bpe_tokens
+    FROM documents d
+    JOIN lscore l USING (doc_id) JOIN wstats w USING (doc_id) JOIN cstats c USING (doc_id)
+    """,
+)
 def doc_quality_lang(sf_dir: str):
-    """Language-ID heuristic + quality score + BPE-ish token count."""
+    """Language-ID heuristic + quality score + BPE-ish token count (all
+    deterministic CASE/ratio logic — SQL-reproducible)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def q(batch: pa.Table) -> pa.Table:
@@ -1002,22 +1082,60 @@ def doc_quality_lang(sf_dir: str):
     return ds.map_batches(q, batch_format="pyarrow", zero_copy_batch=True)
 
 
-@register("knn_topk")
-def knn_topk(sf_dir: str, k: int = 5):
-    """Brute-force cosine top-k for the first 3 query vectors (ANN baseline:
-    partial per-batch top-k → global merge)."""
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qtbl = pa.concat_tables(
-        [pa.table(b) for b in ds.filter(expr="vec_id < 3").iter_batches(batch_format="pyarrow")]
+def _merge_topk(k: int):
+    """Per-query top-k merge for ``groupby("query_id").map_groups`` — each
+    group holds ≤ k candidates per upstream block, so the merge is tiny and
+    fully distributed (no driver-side materialization)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["sim"] = rnd(g["sim"].to_numpy())
+        return g[["query_id", "neighbor_id", "sim", "rank"]]
+
+    return merge
+
+
+_KNN_DOTS_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+dots AS (
+  SELECT q.query_id, e.vec_id,
+         sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS nq,
+         sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne
+  FROM q, embeddings e, range(1, 65) t(i)
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id
+)
+"""
+
+
+@register(
+    "knn_topk",
+    _KNN_DOTS_SQL
+    + """
+    , ranked AS (
+      SELECT query_id, vec_id AS neighbor_id, dot / (nq * ne) AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (nq * ne) DESC, vec_id) AS rank
+      FROM dots
     )
-    q_ids = np.asarray(qtbl.column("vec_id").combine_chunks())
-    Q = np.vstack([np.asarray(x, dtype=np.float64) for x in qtbl.column("embedding").to_pylist()])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_topk(sf_dir: str, k: int = 5):
+    """Brute-force cosine top-k for the first 3 query vectors (ANN baseline):
+    per-batch partial top-k → distributed groupby(query_id) merge — the
+    candidate stream never lands on the driver."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_ids, Qn = _query_matrix(ds, 3)
     q_ref = ray.put((q_ids, Qn))
 
     def topk_partial(batch: pa.Table) -> pa.Table:
         ids, Qn_ = ray.get(q_ref)
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in batch.column("embedding").to_pylist()])
+        V = _emb_matrix(batch.column("embedding"))
         vids = np.asarray(batch.column("vec_id").combine_chunks())
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         sims = Qn_ @ Vn.T
@@ -1025,37 +1143,82 @@ def knn_topk(sf_dir: str, k: int = 5):
         for j, qid in enumerate(ids):
             srow = sims[j].copy()
             srow[vids == qid] = -np.inf
-            top = np.argsort(-srow)[:k]
-            out_q += [int(qid)] * len(top)
-            out_v += [int(x) for x in vids[top]]
-            out_s += [float(x) for x in srow[top]]
+            top = np.lexsort((vids, -srow))[:k]  # sim desc, neighbor_id asc
+            top = top[np.isfinite(srow[top])]
+            out_q.append(np.full(top.size, qid, dtype=np.int64))
+            out_v.append(vids[top].astype(np.int64))
+            out_s.append(srow[top])
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q) if out_q else np.array([], np.int64)),
+                "neighbor_id": pa.array(np.concatenate(out_v) if out_v else np.array([], np.int64)),
+                "sim": pa.array(np.concatenate(out_s) if out_s else np.array([], np.float64)),
             }
         )
 
     partials = ds.map_batches(topk_partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.sort([("query_id"), ("sim")], descending=[False, True])
-    df = merged.to_pandas()
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", "neighbor_id", "sim", "rank"]]
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
-@register("near_dup_pairs")
-def near_dup_pairs(sf_dir: str, num_perm: int = 8, bands: int = 4, max_bucket: int = 256):
+@register(
+    "near_dup_pairs",
+    """
+    WITH mh AS (
+      SELECT doc_id, p.i AS perm, min(md5(concat(p.i, '|', t))) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) toks,
+           range(0, 8) p(i)
+      GROUP BY doc_id, p.i
+    ),
+    bandkeys AS (
+      SELECT doc_id, (perm // 2) AS band,
+             string_agg(substr(h, 1, 8), '' ORDER BY perm) AS key
+      FROM mh GROUP BY doc_id, (perm // 2)
+    ),
+    cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandkeys a JOIN bandkeys b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+      FROM documents, range(1, 4097) t(i)  -- bound > max doc length in testdata
+      WHERE i <= greatest(length(text) - 4, 1)
+    ),
+    gcounts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS ni
+      FROM cand_pairs p
+      JOIN grams ga ON ga.doc_id = p.doc_a
+      JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    jac AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(COALESCE(i.ni, 0) AS DOUBLE)
+               / (ca.n + cb.n - COALESCE(i.ni, 0)) AS jaccard
+      FROM cand_pairs p
+      JOIN gcounts ca ON ca.doc_id = p.doc_a
+      JOIN gcounts cb ON cb.doc_id = p.doc_b
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+    FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def near_dup_pairs(sf_dir: str, num_perm: int = 8, bands: int = 4, max_bucket: int = 4096):
     """MinHash-LSH near-dup pairs verified by char-5-gram Jaccard.
 
-    ``num_perm`` minhashes → ``bands`` bands of rows=num_perm/bands; a doc is
-    exploded into one row per band; same band-key ⇒ candidate bucket; exact
-    Jaccard verifies candidates; a final (doc_a, doc_b) group dedups pairs
-    found by several bands.  Buckets above ``max_bucket`` docs are truncated
-    (logged via a __truncated marker pair-count column upstream systems can
-    monitor) so a degenerate band cannot go O(n²).  At production scale the
-    verify stage would carry a content reference instead of the text column.
+    ``num_perm`` md5-minhashes → ``bands`` bands of num_perm/bands rows; a
+    doc explodes into one (doc_id, band_key) row per band — the banded
+    shuffle carries ONLY ids and 16-char keys, never the text (at 100 TB the
+    corpus moves zero times through this exchange).  Same band-key ⇒
+    candidate pair; pairs are deduped across bands FIRST, then verified by
+    exact Jaccard with texts fetched for candidates only (filter + broadcast
+    — candidates are LSH-rare by construction; the driver holds candidate
+    ids, not the corpus).  A bucket above ``max_bucket`` docs fails loudly:
+    silent truncation reads as full coverage, and a degenerate band means
+    the banding config is wrong for the corpus, not that O(n²) work should
+    quietly proceed.
     """
     rows_per_band = num_perm // bands
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1063,19 +1226,17 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 8, bands: int = 4, max_bucket: i
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_pylist()
-        out_id, out_band, out_text = [], [], []
+        out_id, out_band = [], []
         for did, t in zip(ids, texts):
             mh = T.minhash_signature(t, num_perm=num_perm)
             for b in range(bands):
                 key = f"{b}:" + "".join(h[:8] for h in mh[b * rows_per_band : (b + 1) * rows_per_band])
                 out_id.append(did)
                 out_band.append(key)
-                out_text.append(t)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
                 "band": pa.array(out_band, pa.string()),
-                "text": pa.array(out_text, pa.string()),
             }
         )
 
@@ -1084,24 +1245,54 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 8, bands: int = 4, max_bucket: i
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
-        docs = group.sort_values("doc_id").reset_index(drop=True).head(max_bucket)
-        grams = [T.char_ngrams(t) for t in docs.text]
-        rows = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                jac = T.jaccard(grams[i], grams[j])
-                if jac >= 0.5:
-                    rows.append((int(docs.doc_id[i]), int(docs.doc_id[j]), round(jac, 6)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+                                 "doc_b": pd.Series(dtype="int64")})
+        if len(group) > max_bucket:
+            raise ValueError(
+                f"near-dup LSH bucket of {len(group)} docs > max_bucket={max_bucket}: "
+                "band signature too short for corpus — raise num_perm/bands"
+            )
+        d = np.sort(group["doc_id"].to_numpy())
+        ia, ib = np.triu_indices(d.size, k=1)
+        return pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
 
     pairs = banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
+    deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    # fetch texts for candidate docs ONLY: the candidate-id set is small by
+    # LSH construction (bounded driver state), the corpus is only filtered
+    cand_ids: set[int] = set()
+    for b in deduped.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b.column("doc_a").to_pylist())
+        cand_ids.update(b.column("doc_b").to_pylist())
+    texts: dict[int, str] = {}
+    if cand_ids:
+        id_arr = pa.array(sorted(cand_ids), pa.int64())
+        docs = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=id_arr)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        for b in docs.iter_batches(batch_format="pyarrow"):
+            texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
+    tref = ray.put(texts)
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = ray.get(tref)
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        grams = {d: T.char_ngrams(tx[d]) for d in set(da) | set(db)}
+        out = [(a, b, T.jaccard(grams[a], grams[b])) for a, b in zip(da, db)]
+        out = [(a, b, j) for a, b, j in out if j >= 0.5]
+        return pa.table(
+            {
+                "doc_a": pa.array([a for a, _, _ in out], pa.int64()),
+                "doc_b": pa.array([b for _, b, _ in out], pa.int64()),
+                "jaccard": pa.array(rnd(np.array([j for _, _, j in out], dtype=np.float64)), pa.float64()),
+            }
+        )
+
+    return deduped.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1109,15 +1300,21 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 8, bands: int = 4, max_bucket: i
 # driver check — the pytest oracle in tests/oracle.py is their value gate)
 # ---------------------------------------------------------------------------
 
+_FIXTURE_BASE = "/tmp/efr_driver_fixture_e120_s42"
+
+
 def _fixture(sf_dir: str) -> tuple[str, str]:
     """Deterministic cached image+caption fixture (input_hint schema).
 
     Sized independently of sf_dir (the driver's tables don't carry images);
-    generation is seeded so every run sees identical bytes.
+    generation is seeded so every run sees identical bytes.  Fixture-based
+    oracle SQL reads the same parquet via its absolute path — valid because
+    the compare harness always runs the Ray query (which generates the
+    fixture) before its oracle.
     """
     import json as _json
 
-    base = "/tmp/efr_driver_fixture_e120_s42"
+    base = _FIXTURE_BASE
     events_dir = os.path.join(base, "events")
     queries_path = os.path.join(base, "queries.parquet")
     marker = os.path.join(base, "DONE")
@@ -1142,7 +1339,15 @@ def flagship_pit_features(sf_dir: str):
     return pit_features(events_dir, queries_path, num_buckets=NB)
 
 
-@register("caption_label_counts")
+@register(
+    "caption_label_counts",
+    f"""
+    SELECT label, count(*) AS n_rows
+    FROM (SELECT unnest(string_split(caption, ',')) AS label
+          FROM read_parquet('{_FIXTURE_BASE}/events/*.parquet'))
+    GROUP BY label
+    """,
+)
 def caption_label_counts(sf_dir: str):
     """M5/M6: multi-label caption tokenize + explode + count
     (extract_HRV.py:52-77) over the fixture image table."""
@@ -1303,90 +1508,188 @@ def hash_split_counts(sf_dir: str):
     return grouped_agg(tagged, ["split"], {"n": ("*", "count")})
 
 
-@register("knn_ivf")
+@register(
+    "knn_ivf",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+    vc AS (
+      SELECT v.vec_id, c.cid,
+             sum(CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+               / (sqrt(sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))) AS sim
+      FROM embeddings v, c, range(1, 65) t(i)
+      GROUP BY v.vec_id, c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM vc) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, vc.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY vc.sim DESC, vc.cid) AS rn
+        FROM q JOIN vc ON vc.vec_id = q.query_id) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id,
+             sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS nq,
+             sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne
+      FROM cand cd
+      JOIN q ON q.query_id = cd.query_id
+      JOIN embeddings e ON e.vec_id = cd.vec_id, range(1, 65) t(i)
+      GROUP BY cd.query_id, cd.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id AS neighbor_id, dot / (nq * ne) AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (nq * ne) DESC, vec_id) AS rank
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4, k: int = 5):
-    """ANN scale path: IVF-style bucketed search.  Seeded deterministic
-    centroids (first n_lists vectors), assign every vector to its nearest
-    centroid inside map_batches, then search only the query's ``n_probe``
-    nearest lists.  Brute-force baseline: ``knn_topk``."""
+    """ANN scale path: IVF-style bucketed search.  Deterministic centroids
+    (first n_lists vectors), nearest-centroid assignment inside map_batches,
+    search only the query's ``n_probe`` nearest lists, then a distributed
+    groupby(query_id) top-k merge.  Brute-force baseline: ``knn_topk``."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cent_tbl = pa.concat_tables(
-        [pa.table(b) for b in ds.filter(expr=f"vec_id < {n_lists}").iter_batches(batch_format="pyarrow")]
-    )
-    C = np.vstack([np.asarray(x, dtype=np.float64) for x in cent_tbl.column("embedding").to_pylist()])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    qt = pa.concat_tables(
-        [pa.table(b) for b in ds.filter(expr="vec_id < 3").iter_batches(batch_format="pyarrow")]
-    )
-    q_ids = np.asarray(qt.column("vec_id").combine_chunks())
-    Q = np.vstack([np.asarray(x, dtype=np.float64) for x in qt.column("embedding").to_pylist()])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    probe_lists = {int(q): set(np.argsort(-(Qn[j] @ Cn.T))[:n_probe].tolist()) for j, q in enumerate(q_ids)}
+    c_ids, Cn = _query_matrix(ds, n_lists)
+    q_ids, Qn = _query_matrix(ds, 3)
+    # stable sort ⇒ centroid ties break toward the lowest id (matches the
+    # oracle's ORDER BY sim DESC, cid)
+    probe_lists = {
+        int(q): set(np.argsort(-(Qn[j] @ Cn.T), kind="stable")[:n_probe].tolist())
+        for j, q in enumerate(q_ids)
+    }
     bc = ray.put((Cn, q_ids, Qn, probe_lists))
 
     def search(batch: pa.Table) -> pa.Table:
         Cn_, ids_, Qn_, probes = ray.get(bc)
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in batch.column("embedding").to_pylist()])
+        V = _emb_matrix(batch.column("embedding"))
         vids = np.asarray(batch.column("vec_id").combine_chunks())
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        assign = np.argmax(Vn @ Cn_.T, axis=1)
+        assign = np.argmax(Vn @ Cn_.T, axis=1)  # first max = lowest cid
         out_q, out_v, out_s = [], [], []
         for j, qid in enumerate(ids_):
-            mask = np.fromiter((a in probes[int(qid)] for a in assign), bool, len(assign))
-            mask &= vids != qid
+            plist = np.array(sorted(probes[int(qid)]), dtype=np.int64)
+            mask = np.isin(assign, plist) & (vids != qid)
             if not mask.any():
                 continue
             sims = Qn_[j] @ Vn[mask].T
             cand = vids[mask]
-            top = np.argsort(-sims)[:k]
-            out_q += [int(qid)] * len(top)
-            out_v += [int(x) for x in cand[top]]
-            out_s += [float(x) for x in sims[top]]
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_v, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
+            top = np.lexsort((cand, -sims))[:k]
+            out_q.append(np.full(top.size, qid, dtype=np.int64))
+            out_v.append(cand[top].astype(np.int64))
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_v)),
+                         "sim": pa.array(np.concatenate(out_s))})
 
     partials = ds.map_batches(search, batch_format="pyarrow", zero_copy_batch=True)
-    df = partials.sort([("query_id"), ("sim")], descending=[False, True]).to_pandas()
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(df[df["rank"] <= k].reset_index(drop=True), preserve_index=False)
+    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
-@register("embedding_near_dups")
-def embedding_near_dups(sf_dir: str, threshold: float = 0.95):
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
-    buckets (8-bit signatures) + exact verify inside each bucket — the
-    embedding analog of minhash-LSH dedup."""
+NEAR_DUP_COS = 0.4  # driver data is near-random (max off-diag cosine ≈ 0.51)
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH b AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                           THEN 1 << (i - 1) ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN CAST(embedding[i + 8] AS DOUBLE) > 0
+                           THEN 1 << (i - 1) ELSE 0 END) AS BIGINT) AS b2
+      FROM embeddings, range(1, 9) t(i) GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b
+      FROM b a JOIN b bb ON a.vec_id < bb.vec_id AND (a.b1 = bb.b1 OR a.b2 = bb.b2)
+    ),
+    sims AS (
+      SELECT p.vec_a, p.vec_b,
+             sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))) AS na,
+             sqrt(sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) AS nb
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.vec_a
+      JOIN embeddings eb ON eb.vec_id = p.vec_b, range(1, 65) t(i)
+      GROUP BY p.vec_a, p.vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na * nb), 6) AS cosine
+    FROM sims WHERE dot / (na * nb) >= {NEAR_DUP_COS}
+    """,
+)
+def embedding_near_dups(sf_dir: str, threshold: float = NEAR_DUP_COS,
+                        n_bits: int = 8, max_bucket: int = 512):
+    """Embedding-cosine near-duplicate pairs via sign-bit LSH + in-bucket
+    exact verify — the embedding analog of minhash-LSH dedup.
+
+    Two independent hash tables: table 1 keys on the sign bits of dims 0-7,
+    table 2 on dims 8-15 (deterministic, so the DuckDB oracle reproduces the
+    exact candidate set).  A pair is a candidate if it collides in EITHER
+    table; candidates are cosine-verified inside their bucket and pairs found
+    by both tables are deduped by a final (vec_a, vec_b) group.  At scale:
+    more bits per table ⇒ smaller buckets; the in-bucket N² verify is bounded
+    by ``max_bucket`` (oversized buckets mean the signature is too short for
+    the corpus — widen n_bits rather than truncate silently)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    rng = np.random.default_rng(11)
-    planes = rng.normal(size=(8, 64))
-    bc = ray.put(planes)
 
     def sig(batch: pa.Table) -> pa.Table:
-        P = ray.get(bc)
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in batch.column("embedding").to_pylist()])
-        bits = (V @ P.T) > 0
-        keys = (bits * (1 << np.arange(8))).sum(axis=1).astype(np.int64)
-        return pa.table({"vec_id": batch.column("vec_id"), "bucket": pa.array(keys),
+        V = _emb_matrix(batch.column("embedding"))
+        w = (1 << np.arange(n_bits)).astype(np.int64)
+        b1 = ((V[:, :n_bits] > 0) * w).sum(axis=1)
+        b2 = ((V[:, n_bits : 2 * n_bits] > 0) * w).sum(axis=1)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "b1": pa.array(b1), "b2": pa.array(b2),
                          "embedding": batch.column("embedding")})
 
     banded = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
         if len(group) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        g = group.sort_values("vec_id").reset_index(drop=True).head(512)
+            return empty
+        if len(group) > max_bucket:
+            raise ValueError(
+                f"near-dup LSH bucket of {len(group)} > max_bucket={max_bucket}: "
+                "signature too short for corpus size — raise n_bits"
+            )
+        g = group.sort_values("vec_id").reset_index(drop=True)
         V = np.vstack([np.asarray(x, dtype=np.float64) for x in g.embedding])
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         sims = Vn @ Vn.T
         ia, ib = np.triu_indices(len(g), k=1)
         m = sims[ia, ib] >= threshold
-        return pd.DataFrame({"vec_a": g.vec_id.values[ia[m]], "vec_b": g.vec_id.values[ib[m]],
-                             "cosine": np.round(sims[ia, ib][m], 6)})
+        return pd.DataFrame({"vec_a": g.vec_id.values[ia[m]].astype(np.int64),
+                             "vec_b": g.vec_id.values[ib[m]].astype(np.int64),
+                             "cosine": rnd(sims[ia, ib][m])})
 
-    return banded.groupby("bucket").map_groups(verify, batch_format="pandas")
+    p1 = banded.groupby("b1").map_groups(verify, batch_format="pandas")
+    p2 = banded.groupby("b2").map_groups(verify, batch_format="pandas")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return p1.union(p2).groupby(["vec_a", "vec_b"]).map_groups(dedup, batch_format="pandas")
 
 
 @register("denoised_value_stats")
@@ -1445,7 +1748,19 @@ def custom_featurespec(sf_dir: str):
     return extract_features(events_dir, specs, num_buckets=NB)
 
 
-@register("label_dim_join")
+@register(
+    "label_dim_join",
+    f"""
+    SELECT e.label,
+           CAST(min(d.code) AS BIGINT) AS code,
+           count(*) AS n_rows,
+           ROUND(sum(ROUND(d.weight * 100)) / 100, 6) AS total_weight
+    FROM (SELECT unnest(string_split(caption, ',')) AS label
+          FROM read_parquet('{_FIXTURE_BASE}/events/*.parquet')) e
+    JOIN read_csv('{_FIXTURE_BASE}/labels.csv') d ON d.label = e.label
+    GROUP BY e.label
+    """,
+)
 def label_dim_join(sf_dir: str):
     """S4/J2: CSV dimension table (label → code, weight ≙ REFERENCE.csv,
     preprocess-300hz.py:127-152) broadcast-joined to exploded captions."""
