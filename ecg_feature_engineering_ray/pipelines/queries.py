@@ -1329,14 +1329,68 @@ def _fixture(sf_dir: str) -> tuple[str, str]:
     return events_dir, queries_path
 
 
-@register("flagship_pit_features")
+def rnd_sig(x: np.ndarray, sig: int = 6) -> np.ndarray:
+    """Round to ``sig`` significant digits, half-away (driver-hash-stable
+    across float summation-order differences between engine and oracle)."""
+    x = np.asarray(x, dtype=np.float64)
+    out = x.copy()
+    m = np.isfinite(x) & (x != 0)
+    e = np.floor(np.log10(np.abs(x[m])))
+    f = 10.0 ** (sig - 1 - e)
+    out[m] = np.copysign(np.floor(np.abs(x[m]) * f + 0.5) / f, x[m])
+    return out
+
+
+def _flagship_expected(events_dir: str, queries_path: str) -> str:
+    """Cache the INDEPENDENT numpy oracle's flagship output (tests/oracle.py
+    — single-threaded direct formulas, no engine code) as parquet so the
+    driver's DuckDB pass can hash-compare the full PIT pipeline."""
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(_FIXTURE_BASE, "expected_flagship.parquet")
+    if not os.path.exists(path):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import ORACLE_FEATURE_NAMES, oracle_pit_features
+
+        df = oracle_pit_features(events_dir, queries_path)
+        for c in ORACLE_FEATURE_NAMES:
+            df[c] = rnd_sig(df[c].to_numpy())
+        tbl = pa.Table.from_pandas(df[["image_id", "as_of_ts"] + ORACLE_FEATURE_NAMES],
+                                   preserve_index=False)
+        _pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+@register(
+    "flagship_pit_features",
+    f"SELECT * FROM read_parquet('{_FIXTURE_BASE}/expected_flagship.parquet')",
+)
 def flagship_pit_features(sf_dir: str):
-    """The north-star pipeline: decode → as-of merge → PIT feature vectors
-    (value-checked against tests/oracle.py, not SQL)."""
+    """The north-star pipeline: decode → as-of merge → PIT feature vectors.
+
+    Oracle: the independent single-threaded numpy implementation
+    (tests/oracle.py), cached as parquet; both sides round to 6 significant
+    digits so hashes compare despite float summation-order differences."""
     from .flagship import pit_features
 
     events_dir, queries_path = _fixture(sf_dir)
-    return pit_features(events_dir, queries_path, num_buckets=NB)
+    _flagship_expected(events_dir, queries_path)
+    out = pit_features(events_dir, queries_path, num_buckets=NB)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in batch.column_names:
+            if c in ("image_id", "as_of_ts"):
+                cols[c] = batch.column(c)
+            else:
+                v = np.asarray(batch.column(c).combine_chunks().fill_null(np.nan), dtype=np.float64)
+                cols[c] = pa.array(rnd_sig(v), pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
 
 
 @register(
@@ -1895,5 +1949,364 @@ def rolling_time_window(sf_dir: str):
                 "tw_mean": pa.array(rnd(m_out)),
             }
         )
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+# ---------------------------------------------------------------------------
+# kernel twin queries — the family stat kernels (functions/stats.py) replayed
+# over the driver's events table with FULL SQL oracles, so the same code the
+# fixture families run is driver-hash-gated (VERDICT r1 task 2)
+# ---------------------------------------------------------------------------
+
+
+def _per_user_stats(sf_dir: str, out_spec: "dict[str, pa.DataType]", fn):
+    """Run ``fn(ts_us_seg, v_seg) -> tuple`` per entity on the bucket spine."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "user_id")
+        users = np.asarray(tbl.column("user_id").combine_chunks())
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        rows = [(int(users[s]), *fn(ts[s:e], v[s:e])) for s, e in zip(starts, ends)]
+        names = ["user_id"] + list(out_spec)
+        types = [pa.int64()] + list(out_spec.values())
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        return pa.table({n: pa.array(list(c), t) for n, c, t in zip(names, cols, types)})
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "kernel_zigzag",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+      FROM events
+    ), nz AS (
+      SELECT user_id, ts, event_id, CASE WHEN dv > 0 THEN 1 ELSE -1 END AS sg
+      FROM d WHERE dv IS NOT NULL AND dv <> 0
+    ), ch AS (
+      SELECT user_id, sg,
+             lag(sg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ps
+      FROM nz
+    )
+    SELECT u.user_id, COALESCE(z.zigzag, 0) AS zigzag
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN (SELECT user_id,
+                      count(*) FILTER (WHERE ps IS NOT NULL AND sg <> ps) AS zigzag
+               FROM ch GROUP BY user_id) z USING (user_id)
+    """,
+)
+def kernel_zigzag(sf_dir: str):
+    """A9 zigzag (direction-change count, LONG_features.py:17-29) over each
+    user's value series — the exact kernel the LONG family composes."""
+    from ..functions.stats import zigzag
+
+    return _per_user_stats(sf_dir, {"zigzag": pa.int64()},
+                           lambda ts, v: (zigzag(v),))
+
+
+@register(
+    "kernel_thres_cross",
+    """
+    WITH m AS (SELECT user_id, avg(ROUND(value * 100)) / 100 AS mu
+               FROM events GROUP BY user_id),
+    s AS (
+      SELECT e.user_id,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN value - mu > 0 THEN 1 WHEN value - mu < 0 THEN -1 ELSE 0 END AS sg
+      FROM events e JOIN m USING (user_id)
+    ),
+    c AS (SELECT user_id, rn, sg,
+                 lag(sg) OVER (PARTITION BY user_id ORDER BY rn) AS ps FROM s),
+    cr AS (SELECT user_id, rn FROM c WHERE sg * ps < 0),
+    agg AS (SELECT user_id, count(*) AS n_cross,
+                   CASE WHEN count(*) >= 2
+                        THEN CAST(max(rn) - min(rn) AS DOUBLE) / (count(*) - 1)
+                        ELSE 0.0 END AS width
+            FROM cr GROUP BY user_id)
+    SELECT u.user_id, COALESCE(a.n_cross, 0) AS n_cross,
+           ROUND(COALESCE(a.width, 0.0), 6) AS mean_cross_width
+    FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN agg a USING (user_id)
+    """,
+)
+def kernel_thres_cross(sf_dir: str):
+    """A10 threshold crossing (LONG_features.py:215-241): crossing count of
+    the mean + mean inter-crossing width (exact-cents mean for parity)."""
+    from ..functions.stats import thres_crossing
+
+    def f(ts, v):
+        mu = np.rint(v * 100).mean() / 100
+        n, w = thres_crossing(v, threshold=mu)
+        return n, float(rnd(w))
+
+    return _per_user_stats(sf_dir, {"n_cross": pa.int64(), "mean_cross_width": pa.float64()}, f)
+
+
+@register(
+    "kernel_mad_cov",
+    """
+    WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY user_id),
+    madt AS (SELECT e.user_id, quantile_cont(abs(value - med), 0.5) AS mad
+             FROM events e JOIN med USING (user_id) GROUP BY e.user_id),
+    r AS (SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events),
+    t AS (SELECT user_id, value, rn FROM r WHERE rn > 1 AND rn < n),
+    cov1 AS (SELECT user_id,
+                    CASE WHEN count(*) > 0 AND avg(value) <> 0
+                         THEN stddev_pop(value) / avg(value) ELSE 0.0 END AS cov_t
+             FROM t GROUP BY user_id),
+    dtt AS (SELECT user_id,
+                   value - lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS dv
+            FROM t),
+    cov2 AS (SELECT user_id,
+                    CASE WHEN count(dv) > 0 AND avg(dv) <> 0
+                         THEN stddev_pop(dv) / avg(dv) ELSE 0.0 END AS cov_dt
+             FROM dtt WHERE dv IS NOT NULL GROUP BY user_id)
+    SELECT m.user_id, ROUND(m.mad, 6) AS mad,
+           ROUND(COALESCE(c1.cov_t, 0.0), 6) AS cov_t,
+           ROUND(COALESCE(c2.cov_dt, 0.0), 6) AS cov_dt
+    FROM madt m
+    LEFT JOIN cov1 c1 USING (user_id) LEFT JOIN cov2 c2 USING (user_id)
+    """,
+)
+def kernel_mad_cov(sf_dir: str):
+    """A23 MAD + A24 CoeffOfVariation (QRS_features.py:335-367) over each
+    user's value series."""
+    from ..functions.stats import coeff_of_variation, mad
+
+    def f(ts, v):
+        c1, c2 = coeff_of_variation(v)
+        return float(rnd(mad(v))), float(rnd(c1)), float(rnd(c2))
+
+    return _per_user_stats(
+        sf_dir, {"mad": pa.float64(), "cov_t": pa.float64(), "cov_dt": pa.float64()}, f
+    )
+
+
+@register(
+    "kernel_poincare",
+    """
+    WITH w AS (
+      SELECT user_id, value,
+             lead(value) OVER win AS nxt,
+             value - lag(value) OVER win AS dv,
+             lead(value) OVER win - value AS dnext,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+      ROUND(CASE WHEN max(n) >= 3 THEN stddev_pop(value) ELSE 0.0 END, 6) AS var_sdnn,
+      CAST(CASE WHEN max(n) >= 3
+                THEN count(*) FILTER (WHERE abs(dv) > 50) ELSE 0 END AS BIGINT) AS var_nn50,
+      ROUND(CASE WHEN max(n) >= 3
+                 THEN CAST(count(*) FILTER (WHERE abs(dv) > 50) AS DOUBLE) / (max(n) - 1)
+                 ELSE 0.0 END, 6) AS var_pnn50,
+      ROUND(CASE WHEN max(n) >= 3
+                  AND avg(value + nxt) FILTER (WHERE nxt IS NOT NULL) <> 0
+                  AND count(*) FILTER (WHERE dv IS NOT NULL AND dnext IS NOT NULL) > 0
+                 THEN avg(sqrt(dv * dv + dnext * dnext))
+                        FILTER (WHERE dv IS NOT NULL AND dnext IS NOT NULL)
+                      / avg(value + nxt) FILTER (WHERE nxt IS NOT NULL)
+                 ELSE 0.0 END, 6) AS var_stepping,
+      ROUND(CASE WHEN max(n) >= 3
+                  AND 2 * var_pop(value) - 0.5 * var_pop(dv) > 0
+                 THEN sqrt(0.5 * var_pop(dv))
+                      / sqrt(2 * var_pop(value) - 0.5 * var_pop(dv))
+                 ELSE 0.0 END, 6) AS var_dispersion
+    FROM w GROUP BY user_id
+    """,
+)
+def kernel_poincare(sf_dir: str):
+    """A18 Variability/Poincaré block (QRS_features.py:509-538) over each
+    user's value series: SDNN, NN50, pNN50, Stepping, Dispersion."""
+    from ..functions.stats import variability
+
+    def f(ts, v):
+        out = variability(v)
+        return (float(rnd(out[0])), int(out[1]), float(rnd(out[2])),
+                float(rnd(out[3])), float(rnd(out[4])))
+
+    return _per_user_stats(
+        sf_dir,
+        {"var_sdnn": pa.float64(), "var_nn50": pa.int64(), "var_pnn50": pa.float64(),
+         "var_stepping": pa.float64(), "var_dispersion": pa.float64()},
+        f,
+    )
+
+
+_BIN_OFFS_A = [240, 128, 64, 32, 16, 8, 4, 1]
+_BIN_CASES = "\n".join(
+    "      count(*) FILTER (WHERE abs(value - 240) >= {o}{ub}) AS bin_a_cnt_{o},\n"
+    "      ROUND(CAST(count(*) FILTER (WHERE abs(value - 240) >= {o}{ub}) AS DOUBLE)\n"
+    "            / count(*), 6) AS bin_a_ratio_{o},".format(
+        o=o, ub=(f" AND abs(value - 240) < {prev}" if prev is not None else "")
+    )
+    for o, prev in zip(_BIN_OFFS_A, [None] + _BIN_OFFS_A[:-1])
+).rstrip(",")
+
+
+@register(
+    "kernel_bins",
+    f"""
+    SELECT user_id,
+{_BIN_CASES}
+    FROM events GROUP BY user_id
+    """,
+)
+def kernel_bins(sf_dir: str):
+    """A19 bin_stat first-match descending scan (QRS_features.py:261-294)
+    over |value - 240| — the 8-offset histogram block (counts + ratios)."""
+    from ..functions.stats import bin_stat
+
+    def f(ts, v):
+        b = bin_stat(v)  # 8 cnt_a, 8 ratio_a, 5 cnt_b, 5 ratio_b
+        out = []
+        for j in range(8):
+            out.append(int(b[j]))
+            out.append(float(rnd(b[8 + j])))
+        return tuple(out)
+
+    spec: dict = {}
+    for o in _BIN_OFFS_A:
+        spec[f"bin_a_cnt_{o}"] = pa.int64()
+        spec[f"bin_a_ratio_{o}"] = pa.float64()
+    return _per_user_stats(sf_dir, spec, f)
+
+
+@register(
+    "kernel_yuxi",
+    """
+    WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY user_id),
+    r AS (SELECT e.user_id, value / med AS rr,
+                 (value + lead(value) OVER w) / med AS s2n,
+                 (lag(value) OVER w + value) / med AS s2p
+          FROM events e JOIN med USING (user_id)
+          WINDOW w AS (PARTITION BY e.user_id ORDER BY ts, event_id))
+    SELECT user_id,
+      ROUND(avg(CASE WHEN abs(rr - 1) <= 0.05 THEN 1.0 ELSE 0.0 END), 6) AS yuxi_1x,
+      ROUND(avg(CASE WHEN abs(rr - 2) <= 2 * 0.05
+                       OR (s2n IS NOT NULL AND abs(s2n - 2) <= 2 * 0.05)
+                       OR (s2p IS NOT NULL AND abs(s2p - 2) <= 2 * 0.05)
+                     THEN 1.0 ELSE 0.0 END), 6) AS yuxi_2x,
+      ROUND(avg(CASE WHEN abs(rr - 3) <= 3 * 0.05 THEN 1.0 ELSE 0.0 END), 6) AS yuxi_3x
+    FROM r GROUP BY user_id
+    """,
+)
+def kernel_yuxi(sf_dir: str):
+    """A17 QRSYuxi fractions (QRS_features.py:463-506) over each user's
+    value series (1x/2x/3x-of-median bands incl. 2-interval sums)."""
+    from ..functions.stats import yuxi_fractions
+
+    def f(ts, v):
+        y = yuxi_fractions(v)
+        return tuple(float(rnd(x)) for x in y)
+
+    return _per_user_stats(
+        sf_dir, {"yuxi_1x": pa.float64(), "yuxi_2x": pa.float64(), "yuxi_3x": pa.float64()}, f
+    )
+
+
+@register(
+    "kernel_autocorr",
+    """
+    WITH l AS (SELECT user_id, value,
+                      lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+      ROUND(COALESCE(corr(value, v1), 0.0), 6) AS ac1,
+      ROUND(COALESCE(corr(value, v2), 0.0), 6) AS ac2
+    FROM l GROUP BY user_id
+    """,
+)
+def kernel_autocorr(sf_dir: str):
+    """A8/A20 Pearson autocorrelation at lags 1-2 (LONG_features.py:193-205)
+    over each user's value series."""
+    from ..functions.stats import autocorr
+
+    def f(ts, v):
+        a = autocorr(v, 3)
+        return float(rnd(a[1])), float(rnd(a[2]))
+
+    return _per_user_stats(sf_dir, {"ac1": pa.float64(), "ac2": pa.float64()}, f)
+
+
+@register(
+    "kernel_session_rollup",
+    SESSION_SQL_CTE
+    + """
+    , per_sess AS (
+      SELECT user_id, session_id, count(*) AS n,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS dur_s,
+             CASE WHEN count(*) > 1
+                  THEN (epoch_us(max(ts)) - epoch_us(min(ts))) / (count(*) - 1) / 1e6
+                  ELSE 0.0 END AS mean_u,
+             sum(ROUND(value * 100)) / 100 AS sum_v,
+             max(value) - min(value) AS amp_v
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+      ROUND(avg(n), 6) AS sess_n_mean, CAST(max(n) AS BIGINT) AS sess_n_max,
+      ROUND(quantile_cont(n, 0.75), 6) AS sess_n_p75,
+      ROUND(avg(dur_s), 6) AS sess_dur_mean, ROUND(max(dur_s), 6) AS sess_dur_max,
+      ROUND(quantile_cont(dur_s, 0.25), 6) AS sess_dur_p25,
+      ROUND(avg(mean_u), 6) AS sess_u_mean, ROUND(max(mean_u), 6) AS sess_u_max,
+      ROUND(avg(sum_v), 6) AS sess_v_mean, ROUND(min(sum_v), 6) AS sess_v_min,
+      ROUND(avg(amp_v), 6) AS sess_amp_mean, ROUND(max(amp_v), 6) AS sess_amp_max
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def kernel_session_rollup(sf_dir: str):
+    """A13 SHORT-family pattern: per-session base features rolled up across
+    sessions per user (extract_SHORT.py:21,142-297 restated on the events
+    table with the 1 h session gap)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = session_segments(tbl, "user_id", "ts", gap_us=SESSION_GAP_S * 1_000_000)
+        users = np.asarray(tbl.column("user_id").combine_chunks())
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        vc = np.rint(np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64) * 100)
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        su, n_, dur, mu, sv, amp = [], [], [], [], [], []
+        for s, e in zip(starts, ends):
+            su.append(int(users[s]))
+            n = e - s
+            n_.append(n)
+            d = ts[e - 1] - ts[s]
+            dur.append(d / 1e6)
+            mu.append(d / (n - 1) / 1e6 if n > 1 else 0.0)
+            sv.append(vc[s:e].sum() / 100)
+            amp.append(v[s:e].max() - v[s:e].min())
+        su = np.asarray(su)
+        n_ = np.asarray(n_, dtype=np.float64)
+        dur, mu, sv, amp = map(np.asarray, (dur, mu, sv, amp))
+        uid, rows = [], []
+        for u in np.unique(su):
+            m = su == u
+            uid.append(int(u))
+            rows.append((
+                rnd(n_[m].mean()), int(n_[m].max()), rnd(np.percentile(n_[m], 75)),
+                rnd(dur[m].mean()), rnd(dur[m].max()), rnd(np.percentile(dur[m], 25)),
+                rnd(mu[m].mean()), rnd(mu[m].max()),
+                rnd(sv[m].mean()), rnd(sv[m].min()),
+                rnd(amp[m].mean()), rnd(amp[m].max()),
+            ))
+        names = ["sess_n_mean", "sess_n_max", "sess_n_p75", "sess_dur_mean", "sess_dur_max",
+                 "sess_dur_p25", "sess_u_mean", "sess_u_max", "sess_v_mean", "sess_v_min",
+                 "sess_amp_mean", "sess_amp_max"]
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        out: dict = {"user_id": pa.array(uid, pa.int64())}
+        for i, nm in enumerate(names):
+            typ = pa.int64() if nm == "sess_n_max" else pa.float64()
+            out[nm] = pa.array(list(cols[i]), typ)
+        return pa.table(out)
 
     return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)

@@ -34,22 +34,23 @@ def decode_events(events_dir: str) -> pd.DataFrame:
 
 
 def _sampen_pair(x: np.ndarray, m: int, r: float) -> list[float]:
-    """Explicit O(n²) sample entropy at lengths m and m+1, HRV sentinels."""
+    """Explicit O(n²) sample entropy at lengths m and m+1, HRV sentinels.
+
+    Counting uses a direct numpy pairwise-distance broadcast (whole n×n
+    Chebyshev matrix at once) — mathematically the textbook definition,
+    structurally unlike the engine's blocked kernel."""
     x = x[:SAMPEN_MAX_N]
     if x.size < m + 2:
         return [-2.0, -2.0]
 
     def count(mm: int) -> int:
         n = x.size - mm + 1
-        c = 0
-        for i in range(n):
-            for j in range(i + 1, n):
-                d = 0.0
-                for k in range(mm):
-                    d = max(d, abs(x[i + k] - x[j + k]))
-                if d <= r:
-                    c += 1
-        return c
+        if n < 2:
+            return 0
+        emb = np.lib.stride_tricks.sliding_window_view(x, mm)  # (n, mm)
+        d = np.abs(emb[:, None, :] - emb[None, :, :]).max(axis=2)  # Chebyshev
+        iu = np.triu_indices(n, k=1)
+        return int(np.count_nonzero(d[iu] <= r))
 
     b1 = count(m - 1) if m >= 2 else count(m)
     bm = count(m)
