@@ -70,6 +70,15 @@ def mean_luminance(pixels: np.ndarray) -> float:
     return float(pixels.mean() / 255.0)
 
 
+def channel_means(pixels: np.ndarray) -> tuple[float, float, float]:
+    """Per-channel derived scalars (R, G, B mean / 255) — the multi-channel
+    analog of the reference's 12 per-lead signals (extract_LONG.py:46-51):
+    each channel is an independent series every v-based statistic replays
+    over.  Exact: uint8 sums are integers in float64."""
+    m = pixels.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    return float(m[0]), float(m[1]), float(m[2])
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual-hash stand-in: 8×8 mean-threshold bitmap of the
     downsampled grayscale image (aHash — public algorithm)."""

@@ -171,27 +171,49 @@ _FAMILIES = {
 }
 
 
+# families whose vector depends on the VALUE series (per-channel replication
+# applies — ≙ the reference's per-lead LONG/SHORT, extract_LONG.py:46-51);
+# u-based families (HRV/QRS) derive from the shared event timestamps and are
+# channel-independent by construction in this data model.
+_V_FAMILIES = {"long", "short"}
+
+
+def _channel_cols(family: str, names: list[str], channels: tuple) -> list[tuple[str, str]]:
+    """(channel, column-name) pairs: primary channel 'v' keeps legacy names,
+    extra channels are suffix-scoped like the reference's per-lead join."""
+    if family not in _V_FAMILIES:
+        return [("v", f"{family}_{nm}") for nm in names]
+    out = []
+    for ch in channels:
+        tag = f"{family}_" if ch == "v" else f"{family}_{ch}_"
+        out += [(ch, tag + nm) for nm in names]
+    return out
+
+
 def family_features(
     events_dir: str,
     family: str,
     num_buckets: int = 16,
     explode_labels: bool = True,
     decode_concurrency=(1, 4),
+    channels: tuple = ("v",),
 ) -> Dataset:
-    """One row per entity (× caption label when exploded) with the family vector."""
+    """One row per entity (× caption label when exploded) with the family
+    vector — computed per derived channel for the v-based families."""
     names, fn = _FAMILIES[family]
+    use_ch = channels if family in _V_FAMILIES else ("v",)
     decoded = decode_stage(read_events(events_dir), concurrency=decode_concurrency)
-    decoded = decoded.select_columns(["image_id", "ts", "v", "caption"])
+    decoded = decoded.select_columns(["image_id", "ts", "caption", *use_ch])
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         starts, ends = entity_segments(tbl, "image_id")
         ids = tbl.column("image_id")
         caps = tbl.column("caption")
         ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
-        v = np.asarray(tbl.column("v").combine_chunks(), dtype=np.float64)
+        chans = {c: np.asarray(tbl.column(c).combine_chunks(), dtype=np.float64) for c in use_ch}
         out_id, out_label, rows = [], [], []
         for s, e in zip(starts, ends):
-            vec = fn(ts[s:e], v[s:e])
+            vec = np.concatenate([fn(ts[s:e], chans[c][s:e]) for c in use_ch])
             eid = ids[s].as_py()
             labels = caps[s].as_py().split(",") if explode_labels else [""]
             for lab in labels:  # multi-label explode (extract_HRV.py:52-77)
@@ -202,50 +224,62 @@ def family_features(
             "image_id": pa.array(out_id, pa.string()),
             "label": pa.array(out_label, pa.string()),
         }
-        mat = np.vstack(rows) if rows else np.empty((0, len(names)))
-        for j, nm in enumerate(names):
-            cols[f"{family}_{nm}"] = pa.array(mat[:, j], pa.float64())
+        col_names = _channel_cols(family, names, use_ch)
+        mat = np.vstack(rows) if rows else np.empty((0, len(col_names)))
+        for j, (_, colname) in enumerate(col_names):
+            cols[colname] = pa.array(mat[:, j], pa.float64())
         return pa.table(cols)
 
     return grouped_sorted_apply(decoded, "image_id", ["ts"], per_bucket, num_buckets,
                                 pre_shuffle_blocks=max(4, num_buckets // 2))
 
 
-def join_families(events_dir: str, families: list[str], num_buckets: int = 16) -> Dataset:
+def join_families(
+    events_dir: str,
+    families: list[str],
+    num_buckets: int = 16,
+    channels: tuple = ("v",),
+) -> Dataset:
     """Column-join family tables on (image_id, label) — J1 as a keyed join.
 
     All families share the one bucket spine, so the join is per-bucket local:
     compute every family inside the SAME per-bucket pass and concat columns —
-    no extra shuffle at all.
-    """
+    no extra shuffle at all.  With multiple ``channels`` the v-based families
+    replicate per channel (≙ the reference's 12-lead column join,
+    extract_LONG.py:46-51 → 1224 columns)."""
     fams = [(f, *_FAMILIES[f]) for f in families]
+    need_ch = sorted({"v"} | (set(channels) if any(f in _V_FAMILIES for f in families) else set()))
     decoded = decode_stage(read_events(events_dir), concurrency=(1, 4))
-    decoded = decoded.select_columns(["image_id", "ts", "v", "caption"])
+    decoded = decoded.select_columns(["image_id", "ts", "caption", *need_ch])
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         starts, ends = entity_segments(tbl, "image_id")
         ids = tbl.column("image_id")
         caps = tbl.column("caption")
         ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
-        v = np.asarray(tbl.column("v").combine_chunks(), dtype=np.float64)
+        chans = {c: np.asarray(tbl.column(c).combine_chunks(), dtype=np.float64) for c in need_ch}
         out_id, out_label = [], []
         fam_rows: dict[str, list] = {f: [] for f, _, _ in fams}
         for s, e in zip(starts, ends):
-            vecs = {f: fn(ts[s:e], v[s:e]) for f, _, fn in fams}
+            for f, _, fn in fams:
+                use_ch = channels if f in _V_FAMILIES else ("v",)
+                fam_vec = np.concatenate([fn(ts[s:e], chans[c][s:e]) for c in use_ch])
+                n_labels = len(caps[s].as_py().split(","))
+                fam_rows[f] += [fam_vec] * n_labels
             eid = ids[s].as_py()
             for lab in caps[s].as_py().split(","):
                 out_id.append(eid)
                 out_label.append(lab)
-                for f, _, _ in fams:
-                    fam_rows[f].append(vecs[f])
         cols: dict[str, pa.Array] = {
             "image_id": pa.array(out_id, pa.string()),
             "label": pa.array(out_label, pa.string()),
         }
         for f, names, _ in fams:
-            mat = np.vstack(fam_rows[f]) if fam_rows[f] else np.empty((0, len(names)))
-            for j, nm in enumerate(names):
-                cols[f"{f}_{nm}"] = pa.array(mat[:, j], pa.float64())
+            use_ch = channels if f in _V_FAMILIES else ("v",)
+            col_names = _channel_cols(f, names, use_ch)
+            mat = np.vstack(fam_rows[f]) if fam_rows[f] else np.empty((0, len(col_names)))
+            for j, (_, colname) in enumerate(col_names):
+                cols[colname] = pa.array(mat[:, j], pa.float64())
         return pa.table(cols)
 
     return grouped_sorted_apply(decoded, "image_id", ["ts"], per_bucket, num_buckets,

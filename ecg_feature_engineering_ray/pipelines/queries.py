@@ -1523,11 +1523,75 @@ for _fam in ("hrv", "long", "qrs", "short"):
 @register("features_joined")
 def features_joined(sf_dir: str):
     """J1: all four family tables column-joined on (image_id, label) inside
-    ONE bucket pass (no extra shuffle; ≙ xgboost_clf.py:12-15)."""
+    ONE bucket pass (no extra shuffle; ≙ xgboost_clf.py:12-15), with the
+    v-based families replicated over all four derived channels
+    (≙ the reference's 12-lead column join, extract_LONG.py:46-51)."""
     from .feature_families import join_families
 
     events_dir, _ = _fixture(sf_dir)
-    return join_families(events_dir, ["hrv", "long", "qrs", "short"], num_buckets=NB)
+    return join_families(events_dir, ["hrv", "long", "qrs", "short"], num_buckets=NB,
+                         channels=("v", "v_r", "v_g", "v_b"))
+
+
+@register(
+    "channel_stats",
+    f"SELECT * FROM read_parquet('{_FIXTURE_BASE}/expected_channel_stats.parquet')",
+)
+def channel_stats(sf_dir: str):
+    """Per-channel (R/G/B) series stats per image — the multi-channel decode
+    plumbing gate.  Oracle: independent single-threaded decode loop
+    (tests/oracle.py oracle_channel_stats) cached as parquet; per-event
+    channel means are exact integer sums so both sides match bitwise."""
+    from ..sources.readers import read_events
+    from ..stages.decode import decode_stage
+
+    events_dir, _ = _fixture(sf_dir)
+    path = os.path.join(_FIXTURE_BASE, "expected_channel_stats.parquet")
+    if not os.path.exists(path):
+        import sys
+
+        import pyarrow.parquet as _pq
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import oracle_channel_stats
+
+        df = oracle_channel_stats(events_dir)
+        for c in df.columns:
+            if c.startswith(("mean_", "min_", "max_")):
+                df[c] = rnd(df[c].to_numpy())
+        _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    decoded = decode_stage(read_events(events_dir), concurrency=(1, 4))
+    decoded = decoded.select_columns(["image_id", "ts", "v_r", "v_g", "v_b"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "image_id")
+        ids = tbl.column("image_id")
+        cols: dict = {"image_id": [], "n_events": []}
+        for ch in ("r", "g", "b"):
+            cols[f"mean_{ch}"] = []
+            cols[f"min_{ch}"] = []
+            cols[f"max_{ch}"] = []
+        chans = {ch: np.asarray(tbl.column(f"v_{ch}").combine_chunks(), dtype=np.float64)
+                 for ch in ("r", "g", "b")}
+        for s, e in zip(starts, ends):
+            cols["image_id"].append(ids[s].as_py())
+            cols["n_events"].append(e - s)
+            for ch in ("r", "g", "b"):
+                x = chans[ch][s:e]
+                cols[f"mean_{ch}"].append(float(rnd(x.mean())))
+                cols[f"min_{ch}"].append(float(rnd(x.min())))
+                cols[f"max_{ch}"].append(float(rnd(x.max())))
+        out = {"image_id": pa.array(cols["image_id"], pa.string()),
+               "n_events": pa.array(cols["n_events"], pa.int64())}
+        for ch in ("r", "g", "b"):
+            for st in ("mean", "min", "max"):
+                out[f"{st}_{ch}"] = pa.array(cols[f"{st}_{ch}"], pa.float64())
+        return pa.table(out)
+
+    return grouped_sorted_apply(decoded, "image_id", ["ts"], per_bucket, NB,
+                                pre_shuffle_blocks=max(4, NB // 2))
 
 
 # ---------------------------------------------------------------------------

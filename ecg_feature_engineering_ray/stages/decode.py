@@ -11,7 +11,10 @@ projection — ``bytes`` is decoded, validated and REDUCED to derived scalar
 channels here so the image payload never enters a shuffle (SURVEY.md §7.4):
 
     image_id, ts, caption, phash, fmt, w, h,
-    v        — mean decoded luminance in [0,1]  (the 'signal value')
+    v              — mean decoded luminance in [0,1]  (the 'signal value')
+    v_r, v_g, v_b  — per-channel means (≙ the reference's 12 per-lead
+                     signals, extract_LONG.py:46-51 — one derived series per
+                     channel for multi-channel feature families)
     psnr_ok  — per-row invariant: bitwise roundtrip (png) / PSNR≥40 dB (jpeg)
 
 Rows failing decode are dropped and counted (reference analog: error-index
@@ -25,7 +28,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from ..functions.codec import decode_image, encode_image, mean_luminance, phash64, psnr
+from ..functions.codec import channel_means, decode_image, encode_image, mean_luminance, phash64, psnr
 from ..functions.text import hamming64
 
 PSNR_MIN_DB = 40.0
@@ -51,11 +54,15 @@ class DecodeValidate:
         fmts = batch.column("fmt").to_pylist()
         stored_ph = np.asarray(batch.column("phash").combine_chunks())
         v = np.empty(len(blobs))
+        vr = np.empty(len(blobs))
+        vg = np.empty(len(blobs))
+        vb = np.empty(len(blobs))
         ok = np.zeros(len(blobs), dtype=bool)
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             try:
                 px, dec_fmt = decode_image(blob)
                 v[i] = mean_luminance(px)
+                vr[i], vg[i], vb[i] = channel_means(px)
                 if fmt == "png":
                     # lossless: re-encode must be byte-identical
                     ok[i] = dec_fmt == "png" and encode_image(px, "png") == blob
@@ -83,6 +90,9 @@ class DecodeValidate:
                 "w": batch.column("w"),
                 "h": batch.column("h"),
                 "v": pa.array(v, pa.float64()),
+                "v_r": pa.array(vr, pa.float64()),
+                "v_g": pa.array(vg, pa.float64()),
+                "v_b": pa.array(vb, pa.float64()),
                 "psnr_ok": pa.array(ok),
             }
         )

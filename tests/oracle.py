@@ -164,3 +164,27 @@ def oracle_pit_features(events_dir: str, queries_path: str) -> pd.DataFrame:
         feats["as_of_ts"] = row.as_of_ts
         rows.append(feats)
     return pd.DataFrame(rows)
+
+
+def oracle_channel_stats(events_dir: str) -> pd.DataFrame:
+    """Independent per-channel stats: decode each blob single-threaded,
+    per-event R/G/B means (exact integer sums), per-image mean/min/max."""
+    tbl = pq.read_table(events_dir)
+    df = tbl.to_pandas()
+    for i, ch in enumerate("rgb"):
+        vals = []
+        for blob in df["bytes"]:
+            px, _ = decode_image(blob)
+            vals.append(px[:, :, i].astype(np.float64).mean() / 255.0)
+        df[f"c_{ch}"] = vals
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    rows = []
+    for image_id, g in df.sort_values("ts_us").groupby("image_id"):
+        row = {"image_id": image_id, "n_events": len(g)}
+        for ch in "rgb":
+            x = g[f"c_{ch}"].to_numpy()
+            row[f"mean_{ch}"] = x.mean()
+            row[f"min_{ch}"] = x.min()
+            row[f"max_{ch}"] = x.max()
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -56,3 +56,25 @@ def test_join_families_aligns_and_topk(fixture_events):
     assert any(c.startswith("qrs_") for c in df.columns)
     top = top_k_features_by_variance(j, k=5)
     assert len(top) == 5 and all(isinstance(c, str) for c in top)
+
+
+def test_features_joined_multichannel_width(fixture_events):
+    """Multi-channel join: v-based families replicate per channel (≙ the
+    reference's 12-lead join) — width must grow accordingly and per-channel
+    columns must differ from the luminance columns."""
+    from ecg_feature_engineering_ray.pipelines.feature_families import (
+        LONG_NAMES, SHORT_NAMES, join_families,
+    )
+
+    events_dir, _ = fixture_events
+    single = join_families(events_dir, ["long", "short"], num_buckets=4)
+    multi = join_families(events_dir, ["long", "short"], num_buckets=4,
+                          channels=("v", "v_r", "v_g", "v_b"))
+    n_single = len(single.schema().names)
+    n_multi = len(multi.schema().names)
+    assert n_multi - 2 == 4 * (n_single - 2)
+    assert n_multi - 2 == 4 * (len(LONG_NAMES) + len(SHORT_NAMES))
+    df = multi.to_pandas()
+    # channel series are genuinely different signals
+    assert not df["long_v_range"].equals(df["long_v_r_v_range"])
+    assert {"long_v_r_v_range", "long_v_g_v_range", "long_v_b_v_range"} <= set(df.columns)
