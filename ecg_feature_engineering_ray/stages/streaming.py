@@ -95,6 +95,23 @@ class EntityStateActor:
             self._emit_ready(eid, out)
         return out
 
+    def stats(self) -> dict:
+        return {"late_dropped": self.late_dropped}
+
+
+def _emit_table(emitted: list) -> pa.Table:
+    cols = list(zip(*emitted)) if emitted else [[]] * 6
+    return pa.table(
+        {
+            "image_id": pa.array(list(cols[0]), pa.string()),
+            "ts": pa.array(list(cols[1]), pa.int64()).cast(pa.timestamp("us")),
+            "v": pa.array(list(cols[2]), pa.float64()),
+            "lag_ms": pa.array(list(cols[3]), pa.float64()),
+            "v_lag1": pa.array(list(cols[4]), pa.float64()),
+            "session_id": pa.array(list(cols[5]), pa.int64()),
+        }
+    )
+
 
 def streaming_lag_sessionize(
     ds,
@@ -103,44 +120,58 @@ def streaming_lag_sessionize(
     key: str = "image_id",
     ts_col: str = "ts",
     value_col: str = "v",
-) -> tuple[pa.Table, int]:
+    router_concurrency: int | tuple = None,
+):
     """Run the arrival-ordered Dataset through the actor ring.
 
-    Returns (emitted table, late_dropped count).  The driver routes each
-    batch's rows to the entity's pinned actor; emission order is per-entity
-    ts order for everything within the lateness budget.
+    Returns ``(emitted: Dataset, finalize)``.  Routing runs as a
+    ``map_batches`` actor-pool stage: each router task splits its batch by
+    the entity hash-pin, forwards to the pinned ``EntityStateActor`` (state
+    never crosses workers), and RETURNS the rows those ingests emitted —
+    the emitted stream is itself a Dataset (write it, aggregate it, pipe it
+    on), with nothing accumulated on the driver.  Concurrent routers may
+    deliver inter-batch rows out of arrival order; that is just more
+    disorder for the watermark machinery, absorbed up to
+    ``allowed_lateness_us`` (an unbounded stream has no total order anyway).
+
+    ``finalize()`` — call AFTER consuming the emitted Dataset — drains every
+    actor's pending heap past its watermark and returns
+    ``(flush_table, late_dropped)``.  The flush tail is bounded by
+    (entities × lateness-window rows), the actors' live state.
     """
     actors = [EntityStateActor.remote(allowed_lateness_us) for _ in range(num_actors)]
-    emitted: list = []
-    pending_calls: list = []
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        ids = batch.column(key).to_pylist()
-        ts = batch.column(ts_col).cast(pa.int64()).to_pylist()
-        vs = batch.column(value_col).to_pylist()
-        per_actor: dict[int, list] = {}
-        for eid, t, v in zip(ids, ts, vs):
-            per_actor.setdefault(md5_u64(eid) % num_actors, []).append((eid, t, v))
-        for a, rows in per_actor.items():
-            pending_calls.append(actors[a].ingest.remote(rows))
-        # drain completed calls opportunistically (backpressure)
-        if len(pending_calls) > 4 * num_actors:
-            done, pending_calls = pending_calls[: 2 * num_actors], pending_calls[2 * num_actors :]
-            for r in ray.get(done):
+
+    class Route:
+        def __init__(self, handles):
+            self.handles = handles
+            self.n = len(handles)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(key).to_pylist()
+            ts = np.asarray(batch.column(ts_col).cast(pa.int64()).combine_chunks())
+            vs = np.asarray(batch.column(value_col).combine_chunks(), dtype=np.float64)
+            per_actor: dict[int, list] = {}
+            for eid, t, v in zip(ids, ts, vs):
+                per_actor.setdefault(md5_u64(eid) % self.n, []).append((eid, int(t), float(v)))
+            refs = [self.handles[a].ingest.remote(rows) for a, rows in per_actor.items()]
+            emitted: list = []
+            for r in ray.get(refs):
                 emitted.extend(r["rows"])
-    for r in ray.get(pending_calls):
-        emitted.extend(r["rows"])
-    for rows in ray.get([a.flush.remote() for a in actors]):
-        emitted.extend(rows)
-    late = sum(ray.get([a.ingest.remote([]) for a in actors])[i]["late_dropped"] for i in range(num_actors))
-    cols = list(zip(*emitted)) if emitted else [[]] * 6
-    table = pa.table(
-        {
-            "image_id": pa.array(cols[0], pa.string()),
-            "ts": pa.array(cols[1], pa.int64()).cast(pa.timestamp("us")),
-            "v": pa.array(cols[2], pa.float64()),
-            "lag_ms": pa.array(cols[3], pa.float64()),
-            "v_lag1": pa.array(cols[4], pa.float64()),
-            "session_id": pa.array(cols[5], pa.int64()),
-        }
+            return _emit_table(emitted)
+
+    emitted_ds = ds.map_batches(
+        Route,
+        fn_constructor_kwargs={"handles": actors},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=router_concurrency or (1, max(2, num_actors)),
     )
-    return table, late
+
+    def finalize() -> tuple[pa.Table, int]:
+        tail: list = []
+        for rows in ray.get([a.flush.remote() for a in actors]):
+            tail.extend(rows)
+        late = sum(s["late_dropped"] for s in ray.get([a.stats.remote() for a in actors]))
+        return _emit_table(tail), late
+
+    return emitted_ds, finalize

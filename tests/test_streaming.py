@@ -36,10 +36,15 @@ def test_streaming_matches_batch_with_lateness(fixture_events):
     ds = _decoded_arrival_order(events_dir)
     raw = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
 
-    # generous lateness — the whole stream replays, nothing dropped
-    got, late = streaming_lag_sessionize(
+    # generous lateness — the whole stream replays, nothing dropped.
+    # the emitted stream is a Dataset (no driver accumulation); the flush
+    # tail + late count come from finalize() after consumption
+    emitted_ds, finalize = streaming_lag_sessionize(
         ray.data.from_arrow(raw), num_actors=3, allowed_lateness_us=10**15
     )
+    parts = [pa.table(b) for b in emitted_ds.iter_batches(batch_format="pyarrow")]
+    tail, late = finalize()
+    got = pa.concat_tables(parts + [tail])
     assert late == 0
     assert got.num_rows == raw.num_rows
 
@@ -55,9 +60,12 @@ def test_streaming_zero_lateness_drops_late_rows(fixture_events):
     events_dir, _ = fixture_events
     ds = _decoded_arrival_order(events_dir)
     raw = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
-    got, late = streaming_lag_sessionize(
+    emitted_ds, finalize = streaming_lag_sessionize(
         ray.data.from_arrow(raw), num_actors=3, allowed_lateness_us=0
     )
+    parts = [pa.table(b) for b in emitted_ds.iter_batches(batch_format="pyarrow")]
+    tail, late = finalize()
+    got = pa.concat_tables(parts + [tail])
     # the fixture plants ~10% out-of-order rows → some must be dropped
     assert late > 0
     assert got.num_rows + late >= raw.num_rows
