@@ -37,7 +37,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     h, w, _ = pixels.shape
     if fmt == "jpeg":
         q = JPEG_QUANT_STEP
-        payload = ((pixels.astype(np.int32) // q) * q + q // 2).clip(0, 255).astype(np.uint8)
+        # uint8 arithmetic: (p//q)*q + q//2 ≤ 255 — no int32 temporary
+        payload = (pixels // q) * q + q // 2
     elif fmt == "png":
         payload = pixels
     else:
@@ -57,8 +58,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB between two uint8 images."""
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    """Peak signal-to-noise ratio in dB between two uint8 images.
+
+    Integer diff/square (exact in int32), f64 accumulator only — avoids
+    full-image float64 temporaries (DRAM-bandwidth ceiling under 24-way
+    actor concurrency; bitwise-identical result)."""
+    d = a.astype(np.int16) - b
+    mse = np.mean(d.astype(np.int32) ** 2, dtype=np.float64)
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))
@@ -75,14 +81,14 @@ def channel_means(pixels: np.ndarray) -> tuple[float, float, float]:
     analog of the reference's 12 per-lead signals (extract_LONG.py:46-51):
     each channel is an independent series every v-based statistic replays
     over.  Exact: uint8 sums are integers in float64."""
-    m = pixels.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    m = pixels.mean(axis=(0, 1), dtype=np.float64) / 255.0
     return float(m[0]), float(m[1]), float(m[2])
 
 
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual-hash stand-in: 8×8 mean-threshold bitmap of the
     downsampled grayscale image (aHash — public algorithm)."""
-    g = pixels.astype(np.float64).mean(axis=2)
+    g = pixels.mean(axis=2, dtype=np.float64)  # no full-image f64 copy
     h, w = g.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     g = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))

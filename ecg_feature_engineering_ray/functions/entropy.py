@@ -21,25 +21,27 @@ import numpy as np
 
 
 def _count_matches(x: np.ndarray, m: int, r: float) -> int:
-    """Number of pairs i<j whose length-m templates are Chebyshev-within r."""
-    n = x.size - m + 1
-    if n <= 1:
+    """Number of pairs i<j whose length-m templates are Chebyshev-within r.
+
+    Diagonal sweep: for pair offset d, the boolean vector
+    ``v[i] = |x[i] - x[i+d]| <= r`` answers every pair on that diagonal at
+    once, and a length-m template match is just m consecutive Trues —
+    m-1 shifted ANDs.  Working set is O(n) (a few KB), so 32 concurrent
+    SampEn workers stay cache-resident instead of sharing 2 MB 3-D
+    temporaries through L3/DRAM (the old row-blocked kernel lost ~20%
+    per-core throughput at 32-way).  Counts are exact — identical float
+    comparisons, no reordering."""
+    n = x.size
+    n_t = n - m + 1
+    if n_t <= 1:
         return 0
-    # templates: (n, m) strided view
-    t = np.lib.stride_tricks.sliding_window_view(x, m)
     total = 0
-    # row-blocked O(n^2) with vectorized inner comparison; block sized so the
-    # (block × n × m) float64 temporary stays ~2 MB (L2-resident) — larger
-    # blocks saturate DRAM bandwidth when many cores run SampEn concurrently
-    block = max(1, 250_000 // max(1, n * m))
-    for i0 in range(0, n - 1, block):
-        i1 = min(i0 + block, n - 1)
-        sub = t[i0:i1]                                     # (b, m)
-        # compare each row i against rows > i
-        d = np.abs(sub[:, None, :] - t[None, i0 + 1 :, :]).max(axis=2)  # (b, n-i0-1)
-        rows = np.arange(i0, i1)[:, None]
-        cols = np.arange(i0 + 1, n)[None, :]
-        total += int(np.count_nonzero((d <= r) & (cols > rows)))
+    for d in range(1, n_t):
+        v = np.abs(x[: n - d] - x[d:]) <= r
+        w = v
+        for k in range(1, m):
+            w = w[: v.size - k] & v[k:]
+        total += int(np.count_nonzero(w[: n_t - d]))
     return total
 
 

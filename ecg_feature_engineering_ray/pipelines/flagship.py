@@ -90,11 +90,28 @@ def pit_features(
     sampen_max_n: int = 400,
     hot_keys: list | None = None,
     bucket_plan: dict | None = None,
+    decode_batch_size: int = 256,
+    pre_shuffle_blocks: int | None = -1,
 ) -> Dataset:
-    """Streaming Dataset of (image_id, as_of_ts, caption?, features…)."""
+    """Streaming Dataset of (image_id, as_of_ts, caption?, features…).
+
+    ``decode_batch_size`` controls decode task granularity: mixed image
+    sizes make per-batch cost vary ~16×, so fine batches (256) keep the
+    actor pool load-balanced (coarse 1024-row tasks leave the pool idle
+    behind one slow straggler wave)."""
     events = read_events(events_dir)  # full schema — decode needs bytes
-    decoded = decode_stage(events, concurrency=decode_concurrency)
+    # throughput path: decode + phash content check; the canonical-encoding
+    # roundtrip is a test-time invariant (see stages/decode.py)
+    decoded = decode_stage(events, concurrency=decode_concurrency,
+                           batch_size=decode_batch_size, verify_roundtrip=False)
     decoded = decoded.select_columns(["image_id", "ts", "v"])
+    # STAGE the decode phase: materialize the projected (payload-free) rows
+    # before the shuffle.  The projection is ~400x smaller than the input
+    # (40 B/row vs KB-scale image bytes) and is exactly the row set the sort
+    # barrier must hold anyway, so this adds no asymptotic memory — and it
+    # lets the actor-pool phase and the shuffle phase each get clean
+    # scheduling (fused streaming measured ~30% slower end-to-end).
+    decoded = decoded.materialize()
 
     left = ray.data.read_parquet(queries_path)
 
@@ -193,7 +210,8 @@ def pit_features(
 
     return grouped_sorted_apply(
         unioned, "__skey", ["__ts", SIDE_COL], per_bucket, num_buckets,
-        explicit_map=plan, pre_shuffle_blocks=max(8, num_buckets // 2),
+        explicit_map=plan,
+        pre_shuffle_blocks=(None if pre_shuffle_blocks == -1 else pre_shuffle_blocks),
     )
 
 
@@ -216,7 +234,9 @@ def pit_features_checkpointed(
     fragments = list_fragments(events_dir)
 
     events = read_events(events_dir)
-    decoded = decode_stage(events).select_columns(["image_id", "ts", "v"])
+    decoded = decode_stage(events, verify_roundtrip=False).select_columns(
+        ["image_id", "ts", "v"]
+    ).materialize()  # staged decode phase — see pit_features
     left = ray.data.read_parquet(queries_path)
     cfg = load_run_config(out_dir)
     if cfg is not None:

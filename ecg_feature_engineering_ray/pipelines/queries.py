@@ -1418,14 +1418,40 @@ def caption_label_counts(sf_dir: str):
     return grouped_agg(exploded, ["label"], {"n_rows": ("*", "count")})
 
 
-@register("deep_scores")
+def _expected_from_oracle(name: str, compute) -> str:
+    """Cache an independent-oracle DataFrame as parquet under the fixture dir."""
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(_FIXTURE_BASE, f"expected_{name}.parquet")
+    if not os.path.exists(path):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        df = compute()
+        _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+@register(
+    "deep_scores",
+    "SELECT * FROM read_parquet('{base}/expected_deep_scores.parquet')".format(base="/tmp/efr_driver_fixture_e120_s42"),
+)
 def deep_scores(sf_dir: str):
     """T1: stateful actor-pool model scoring over image bytes
-    (get_model.py:11-49); deterministic seeded weights."""
+    (get_model.py:11-49); deterministic seeded weights.  Oracle: independent
+    single-threaded replay of the same checkpoint (tests/oracle.py)."""
     from ..sources.readers import read_events
     from ..stages.scorer import deep_score_stage
 
     events_dir, _ = _fixture(sf_dir)
+
+    def _compute():
+        from tests.oracle import oracle_deep_scores
+
+        return oracle_deep_scores(events_dir)
+
+    _expected_from_oracle("deep_scores", _compute)
     ds = read_events(events_dir, columns=["image_id", "ts", "bytes"])
     scored = deep_score_stage(ds, concurrency=(1, 4))
 
@@ -1467,7 +1493,10 @@ def oversample_by_type(sf_dir: str):
     return grouped_agg(duped, ["event_type"], {"n_rows": ("*", "count")})
 
 
-@register("resize_thumbnails")
+@register(
+    "resize_thumbnails",
+    "SELECT * FROM read_parquet('{base}/expected_thumbs.parquet')".format(base="/tmp/efr_driver_fixture_e120_s42"),
+)
 def resize_thumbnails(sf_dir: str):
     """Multimodal transform: decode → nearest-neighbor resize 16×16 →
     re-encode (actor-pool map_batches over binary rows; stages/decode.py
@@ -1476,6 +1505,13 @@ def resize_thumbnails(sf_dir: str):
     from ..sources.readers import read_events
 
     events_dir, _ = _fixture(sf_dir)
+
+    def _compute():
+        from tests.oracle import oracle_thumbnails
+
+        return oracle_thumbnails(events_dir)
+
+    _expected_from_oracle("thumbs", _compute)
     ds = read_events(events_dir, columns=["image_id", "ts", "bytes", "fmt"])
 
     class Thumb:
@@ -1504,33 +1540,90 @@ def resize_thumbnails(sf_dir: str):
 # tests/test_families.py against the numpy oracle)
 # ---------------------------------------------------------------------------
 
+def _round_feature_batch(batch: pa.Table) -> pa.Table:
+    cols = {}
+    for c in batch.column_names:
+        if c in ("image_id", "label"):
+            cols[c] = batch.column(c)
+        else:
+            v = np.asarray(batch.column(c).combine_chunks().fill_null(np.nan), dtype=np.float64)
+            cols[c] = pa.array(rnd_sig(v), pa.float64())
+    return pa.table(cols)
+
+
+def _family_expected(events_dir: str, family: str, channels=("v",)) -> str:
+    """Cache the independent direct-formula family oracle (tests/oracle.py
+    oracle_family_table) as parquet for the driver's hash compare."""
+    import pyarrow.parquet as _pq
+
+    tag = family if channels == ("v",) else family + "_mc"
+    path = os.path.join(_FIXTURE_BASE, f"expected_family_{tag}.parquet")
+    if not os.path.exists(path):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import oracle_family_table
+
+        df = oracle_family_table(events_dir, family, channels=channels)
+        for c in df.columns:
+            if c not in ("image_id", "label"):
+                df[c] = rnd_sig(df[c].to_numpy())
+        _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _family_query(family: str):
     def fn(sf_dir: str):
         from .feature_families import family_features
 
         events_dir, _ = _fixture(sf_dir)
-        return family_features(events_dir, family, num_buckets=NB)
+        _family_expected(events_dir, family)
+        out = family_features(events_dir, family, num_buckets=NB)
+        return out.map_batches(_round_feature_batch, batch_format="pyarrow", zero_copy_batch=True)
 
     fn.__name__ = f"{family}_features_family"
-    fn.__doc__ = f"Entity×label {family.upper()} feature vectors (SURVEY §2.4)."
+    fn.__doc__ = (f"Entity×label {family.upper()} feature vectors (SURVEY §2.4); "
+                  "oracle: independent direct-formula implementation "
+                  "(tests/oracle.py), both sides at 6 significant digits.")
     return fn
 
 
 for _fam in ("hrv", "long", "qrs", "short"):
     QUERIES[f"{_fam}_features_family"] = _family_query(_fam)
+    ORACLE[f"{_fam}_features_family"] = (
+        f"SELECT * FROM read_parquet('{_FIXTURE_BASE}/expected_family_{_fam}.parquet')"
+    )
 
 
-@register("features_joined")
+@register(
+    "features_joined",
+    f"SELECT * FROM read_parquet('{_FIXTURE_BASE}/expected_joined.parquet')",
+)
 def features_joined(sf_dir: str):
     """J1: all four family tables column-joined on (image_id, label) inside
     ONE bucket pass (no extra shuffle; ≙ xgboost_clf.py:12-15), with the
     v-based families replicated over all four derived channels
-    (≙ the reference's 12-lead column join, extract_LONG.py:46-51)."""
+    (≙ the reference's 12-lead column join, extract_LONG.py:46-51).
+    Oracle: pandas merge of the four independent family-oracle tables."""
     from .feature_families import join_families
 
     events_dir, _ = _fixture(sf_dir)
-    return join_families(events_dir, ["hrv", "long", "qrs", "short"], num_buckets=NB,
-                         channels=("v", "v_r", "v_g", "v_b"))
+    chans = ("v", "v_r", "v_g", "v_b")
+    path = os.path.join(_FIXTURE_BASE, "expected_joined.parquet")
+    if not os.path.exists(path):
+        import pyarrow.parquet as _pq
+
+        parts = [pd.read_parquet(_family_expected(events_dir, f, channels=chans if f in ("long", "short") else ("v",)))
+                 for f in ("hrv", "long", "qrs", "short")]
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.merge(part, on=["image_id", "label"])
+        _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    out = join_families(events_dir, ["hrv", "long", "qrs", "short"], num_buckets=NB,
+                        channels=chans)
+    return out.map_batches(_round_feature_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 @register(
@@ -1810,12 +1903,45 @@ def embedding_near_dups(sf_dir: str, threshold: float = NEAR_DUP_COS,
     return p1.union(p2).groupby(["vec_a", "vec_b"]).map_groups(dedup, batch_format="pandas")
 
 
-@register("denoised_value_stats")
+_DENOISE_EXPECTED = "/tmp/efr_expected_denoised.parquet"
+
+
+@register(
+    "denoised_value_stats",
+    f"SELECT * FROM read_parquet('{_DENOISE_EXPECTED}')",
+)
 def denoised_value_stats(sf_dir: str):
     """M1 (WTfilt wavelet denoise) applied to each user's value series, then
     grouped stats over the denoised channel — the denoise→aggregate chain of
-    extract_HRV (utils.py:66-79 → HRV_features.py:92)."""
+    extract_HRV (utils.py:66-79 → HRV_features.py:92).  Oracle: independent
+    loop-based db6 periodization DWT + adjoint reconstruct (tests/oracle.py),
+    cached as parquet for the sf_dir last run."""
+    from ..functions.stats import zero_crossings
     from ..functions.wavelet import wt_denoise
+
+    marker = _DENOISE_EXPECTED + ".src"
+    if not (os.path.exists(marker) and open(marker).read() == sf_dir):
+        import sys
+
+        import pyarrow.parquet as _pq
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import _o_zero_cross_threshold, oracle_wt_denoise
+
+        df = pd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_id", "value"])
+        rows = []
+        for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+            d = oracle_wt_denoise(g["value"].to_numpy(dtype=np.float64))
+            rows.append((int(uid), float(rnd_sig(np.array([d.std()]))[0]),
+                         int(_o_zero_cross_threshold(d))))
+        tbl = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "denoised_std": pa.array([r[1] for r in rows], pa.float64()),
+                        "denoised_zero_cross": pa.array([r[2] for r in rows], pa.int64())})
+        _pq.write_table(tbl, _DENOISE_EXPECTED + ".tmp")
+        os.replace(_DENOISE_EXPECTED + ".tmp", _DENOISE_EXPECTED)
+        with open(marker, "w") as f:
+            f.write(sf_dir)
 
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
 
@@ -1828,42 +1954,76 @@ def denoised_value_stats(sf_dir: str):
             d = wt_denoise(v[s:e])
             uid.append(int(users[s]))
             dn_std.append(float(d.std()))
-            from ..functions.stats import zero_crossings
-
             dn_zc.append(int(zero_crossings(d)))
         return pa.table({"user_id": pa.array(uid, pa.int64()),
-                         "denoised_std": pa.array(np.round(dn_std, 6)),
+                         "denoised_std": pa.array(rnd_sig(np.array(dn_std, dtype=np.float64))),
                          "denoised_zero_cross": pa.array(dn_zc, pa.int64())})
 
     return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
 
 
-@register("corpus_windows")
+@register(
+    "corpus_windows",
+    f"SELECT * FROM read_parquet('{_FIXTURE_BASE}/expected_corpus_windows.parquet')",
+)
 def corpus_windows_q(sf_dir: str):
     """E5/O5/O2: streaming corpus windowing (fixed windows, 50% overlap,
     zero-pad tail) + per-class oversampling + deterministic hash split
-    (≙ preprocess-300hz.py end-to-end, without the 28 GB driver array)."""
+    (≙ preprocess-300hz.py end-to-end, without the 28 GB driver array).
+    Oracle: independent single-threaded window replay (tests/oracle.py)."""
     from .corpus_windows import corpus_windows
 
     events_dir, _ = _fixture(sf_dir)
+    path = os.path.join(_FIXTURE_BASE, "expected_corpus_windows.parquet")
+    if not os.path.exists(path):
+        import sys
+
+        import pyarrow.parquet as _pq
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import oracle_corpus_windows
+
+        df = oracle_corpus_windows(events_dir, oversample={"AF": 2, "Normal": 1, "STE": 3})
+        _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + ".tmp")
+        os.replace(path + ".tmp", path)
     return corpus_windows(events_dir, num_buckets=NB,
                           oversample={"AF": 2, "Normal": 1, "STE": 3})
 
 
-@register("custom_featurespec")
+@register(
+    "custom_featurespec",
+    f"SELECT * FROM read_parquet('{_FIXTURE_BASE}/expected_featurespec.parquet')",
+)
 def custom_featurespec(sf_dir: str):
     """§2.10 user-extension surface: plain-numpy UDF FeatureSpecs fused into
-    one bucket pass (entity + session scopes)."""
+    one bucket pass (entity + session scopes).  Oracle: independent pandas
+    replay of the same specs (tests/oracle.py)."""
     from ..api import FeatureSpec, extract_features
 
     events_dir, _ = _fixture(sf_dir)
+    path = os.path.join(_FIXTURE_BASE, "expected_featurespec.parquet")
+    if not os.path.exists(path):
+        import sys
+
+        import pyarrow.parquet as _pq
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import oracle_custom_featurespec
+
+        df = oracle_custom_featurespec(events_dir)
+        for c in df.columns:
+            if c != "image_id":
+                df[c] = rnd_sig(df[c].to_numpy())
+        _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + ".tmp")
+        os.replace(path + ".tmp", path)
     specs = [
         FeatureSpec("v_mean", lambda s: s["v"].mean()),
         FeatureSpec("v_p90", lambda s: np.percentile(s["v"], 90)),
         FeatureSpec("u_max_ms", lambda s: s["u"].max() if s["u"].size else np.nan, inputs=("u",)),
         FeatureSpec("sess_len", lambda s: float(s["v"].size), scope="session"),
     ]
-    return extract_features(events_dir, specs, num_buckets=NB)
+    out = extract_features(events_dir, specs, num_buckets=NB)
+    return out.map_batches(_round_feature_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 @register(
@@ -2374,3 +2534,42 @@ def kernel_session_rollup(sf_dir: str):
         return pa.table(out)
 
     return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "indicator_grid_hourly",
+    f"""
+    WITH span AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, i.i AS cell
+      FROM span, range(0, 4096) i(i)
+      WHERE i.i <= CAST(floor((epoch_us(t1) - epoch_us(t0)) / 3600000000.0) AS BIGINT)
+    ),
+    marks AS (
+      SELECT e.user_id,
+             CAST(floor((epoch_us(e.ts) - epoch_us(s.t0)) / 3600000000.0) AS BIGINT) AS cell,
+             {", ".join(f"max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
+                        for t in _EVENT_TYPES)}
+      FROM events e JOIN span s USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.cell,
+           {", ".join(f"CAST(COALESCE(m.has_{t}, 0) AS BIGINT) AS has_{t}" for t in _EVENT_TYPES)}
+    FROM grid g LEFT JOIN marks m USING (user_id, cell)
+    """,
+)
+def indicator_grid_hourly(sf_dir: str):
+    """E2: per-user hourly 0/1 indicator grid per event type (≙ the
+    reference's R/P/Q/T wave indicator grids, preprocess-300hz.py:190-253)."""
+    from ..stages.window import indicator_grid
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    return grouped_sorted_apply(
+        ds, "user_id", ["ts", "event_id"],
+        lambda tbl: indicator_grid(tbl, "user_id", "ts", "event_type",
+                                   3600 * 1_000_000, _EVENT_TYPES),
+        NB,
+    )

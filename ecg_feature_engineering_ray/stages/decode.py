@@ -44,9 +44,17 @@ class DecodeValidate:
     check — a corrupted payload with an intact header fails here).
     """
 
-    def __init__(self, psnr_min_db: float = PSNR_MIN_DB, verify_phash: bool = True):
+    def __init__(self, psnr_min_db: float = PSNR_MIN_DB, verify_phash: bool = True,
+                 verify_roundtrip: bool = True):
         self.psnr_min_db = psnr_min_db
         self.verify_phash = verify_phash
+        # re-encode roundtrip proves CANONICAL encoding — an extra invariant
+        # beyond corruption detection (zlib's adler32 already fails loudly on
+        # corrupt payloads at decode).  It costs a full zlib compress per
+        # image (>50% of stage CPU), so throughput pipelines disable it and
+        # rely on decode + phash content verification (the reference's load
+        # path has no roundtrip either, resample.py:10-52).
+        self.verify_roundtrip = verify_roundtrip
         self.n_bad = 0  # per-actor error accumulator (emitted in stats stage)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -63,7 +71,9 @@ class DecodeValidate:
                 px, dec_fmt = decode_image(blob)
                 v[i] = mean_luminance(px)
                 vr[i], vg[i], vb[i] = channel_means(px)
-                if fmt == "png":
+                if not self.verify_roundtrip:
+                    ok[i] = dec_fmt == fmt
+                elif fmt == "png":
                     # lossless: re-encode must be byte-identical
                     ok[i] = dec_fmt == "png" and encode_image(px, "png") == blob
                 else:
@@ -104,6 +114,7 @@ def decode_stage(
     concurrency: int | tuple[int, int] = (2, 8),
     batch_size: int = 1024,
     num_cpus: float = 1.0,
+    verify_roundtrip: bool = True,
 ) -> Dataset:
     """Attach the decode/validate actor pool.  ``batch_size`` bounds the
     binary payload held per task (~1024 rows × ≤50 KB ≈ 50 MB); the OUTPUT
@@ -111,6 +122,7 @@ def decode_stage(
     before a shuffle (see partition.grouped_sorted_apply pre_shuffle_blocks)."""
     return ds.map_batches(
         DecodeValidate,
+        fn_constructor_kwargs={"verify_roundtrip": verify_roundtrip},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

@@ -139,3 +139,58 @@ def count_based_windows(n: int, seg_num: int, seg_length: int) -> list[tuple[int
         return [(0, 0, min(n, seg_length))]
     stride = max(1, (n - seg_length) // (seg_num - 1))
     return [(i, i * stride, i * stride + seg_length) for i in range(seg_num)]
+
+
+def indicator_grid(
+    tbl: pa.Table,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    cell_us: int,
+    types: list[str],
+) -> pa.Table:
+    """Per entity, a uniform time grid from its first to last event with one
+    0/1 indicator column per event type.
+
+    E2 analog: the reference emits R/P/Q/T wave positions as 0/1 indicator
+    time-grids aligned with the signal
+    (/root/reference/challenge2020/preprocess/preprocess-300hz.py:190-253);
+    here the grid cell is ``cell_us`` and each type column marks cells
+    containing at least one event of that type.  Runs inside a sorted bucket
+    (grouped_sorted_apply); output rows = Σ per-entity grid length.
+    """
+    starts, ends = entity_segments(tbl, key)
+    ts = np.asarray(tbl.column(ts_col).cast(pa.int64()).combine_chunks())
+    d = tbl.column(type_col).combine_chunks().dictionary_encode()
+    dict_vals = d.dictionary.to_pylist()
+    type_pos = {t: j for j, t in enumerate(types)}
+    lut = np.array([type_pos.get(v, -1) for v in dict_vals], dtype=np.int64)
+    tcode = lut[np.asarray(d.indices)]
+    keys_out, cells_out = [], []
+    ind_out = [[] for _ in types]
+    key_col = tbl.column(key)
+    for s, e in zip(starts, ends):
+        t0 = ts[s]
+        n_cells = int((ts[e - 1] - t0) // cell_us) + 1
+        cell = (ts[s:e] - t0) // cell_us
+        grid = np.zeros((n_cells, len(types)), dtype=np.int64)
+        code = tcode[s:e]
+        ok = code >= 0
+        grid[cell[ok], code[ok]] = 1
+        keys_out.append(np.repeat(s, n_cells))  # row index of entity head
+        cells_out.append(np.arange(n_cells, dtype=np.int64))
+        for j in range(len(types)):
+            ind_out[j].append(grid[:, j])
+    if not keys_out:
+        cols = {key: pa.array([], key_col.type), "cell": pa.array([], pa.int64())}
+        for t in types:
+            cols[f"has_{t}"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    head_idx = pa.array(np.concatenate(keys_out))
+    cols = {
+        key: key_col.take(head_idx),
+        "cell": pa.array(np.concatenate(cells_out)),
+    }
+    for j, t in enumerate(types):
+        cols[f"has_{t}"] = pa.array(np.concatenate(ind_out[j]))
+    return pa.table(cols)

@@ -22,7 +22,28 @@ import time
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..sources.readers import HAVE_LANCE
+
 MANIFEST_SUFFIX = ".manifest.json"
+
+
+def write_fragment(table: pa.Table, path: str) -> str:
+    """Format seam for partition data (SURVEY S5/S6 map to ``write_lance``).
+
+    Lance is the nominal storage format at fleet scale (fragment-level
+    commits, column projection on read); the package is absent in this
+    container, so parquet is the default physical format and the Lance
+    branch is exercised by a monkeypatched seam test.  Writes to a temp
+    name; caller renames (atomic commit protocol).  Returns the final path
+    the caller should rename to."""
+    if HAVE_LANCE:
+        import lance  # type: ignore  # noqa: PLC0415
+
+        lance_path = path.removesuffix(".parquet") + ".lance"
+        lance.write_dataset(table, lance_path + ".tmp", mode="create")
+        return lance_path
+    pq.write_table(table, path + ".tmp")
+    return path
 
 
 def partition_paths(out_dir: str, bucket: int) -> tuple[str, str]:
@@ -52,9 +73,8 @@ def commit_partition(
     """Atomically write one partition's data + manifest; returns the manifest."""
     os.makedirs(out_dir, exist_ok=True)
     data_path, man_path = partition_paths(out_dir, bucket)
-    tmp = data_path + ".tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, data_path)
+    data_path = write_fragment(table, data_path)
+    os.replace(data_path + ".tmp", data_path)
     wall = time.time() - t_start
     manifest = {
         "bucket": bucket,

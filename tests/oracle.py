@@ -33,13 +33,13 @@ def decode_events(events_dir: str) -> pd.DataFrame:
     return df[["image_id", "ts", "v", "caption", "phash", "fmt"]]
 
 
-def _sampen_pair(x: np.ndarray, m: int, r: float) -> list[float]:
+def _sampen_pair(x: np.ndarray, m: int, r: float, max_n: int = SAMPEN_MAX_N) -> list[float]:
     """Explicit O(n²) sample entropy at lengths m and m+1, HRV sentinels.
 
-    Counting uses a direct numpy pairwise-distance broadcast (whole n×n
-    Chebyshev matrix at once) — mathematically the textbook definition,
-    structurally unlike the engine's blocked kernel."""
-    x = x[:SAMPEN_MAX_N]
+    Counting uses a direct numpy pairwise-distance broadcast (blocked rows of
+    the n×n Chebyshev matrix) — mathematically the textbook definition,
+    structurally unlike the engine's diagonal-sweep kernel."""
+    x = x[:max_n]
     if x.size < m + 2:
         return [-2.0, -2.0]
 
@@ -48,9 +48,15 @@ def _sampen_pair(x: np.ndarray, m: int, r: float) -> list[float]:
         if n < 2:
             return 0
         emb = np.lib.stride_tricks.sliding_window_view(x, mm)  # (n, mm)
-        d = np.abs(emb[:, None, :] - emb[None, :, :]).max(axis=2)  # Chebyshev
-        iu = np.triu_indices(n, k=1)
-        return int(np.count_nonzero(d[iu] <= r))
+        c = 0
+        blk = max(1, 2_000_000 // max(1, n * mm))
+        for i0 in range(0, n, blk):
+            sub = emb[i0 : i0 + blk]
+            d = np.abs(sub[:, None, :] - emb[None, :, :]).max(axis=2)
+            rows = np.arange(i0, i0 + sub.shape[0])[:, None]
+            cols = np.arange(n)[None, :]
+            c += int(np.count_nonzero((d <= r) & (cols > rows)))
+        return c
 
     b1 = count(m - 1) if m >= 2 else count(m)
     bm = count(m)
@@ -188,3 +194,538 @@ def oracle_channel_stats(events_dir: str) -> pd.DataFrame:
             row[f"max_{ch}"] = x.max()
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Independent family-vector oracle (LONG / QRS / SHORT compositions).
+# Direct formulas and plain loops — no engine stats/spectral/wavelet code.
+# Shared with the engine: numpy primitives (fft, percentile, median) and the
+# published db7 coefficients; everything else is re-derived.
+# ---------------------------------------------------------------------------
+
+_DB7_LO = np.array([
+    0.07785205408506236, 0.39653931948230575, 0.7291320908465551, 0.4697822874053586,
+    -0.14390600392910627, -0.22403618499416572, 0.07130921926705004, 0.0806126091510659,
+    -0.03802993693503463, -0.01657454163101562, 0.012550998556013784, 0.00042957797300470274,
+    -0.0018016407039998328, 0.0003537138000010399,
+])
+
+
+def _o_dwt_level(x):
+    """One periodization-mode db7 level via explicit periodic gather."""
+    lo = _DB7_LO
+    hi = ((-1.0) ** np.arange(lo.size)) * lo[::-1]
+    if x.size % 2:
+        x = np.concatenate([x, x[-1:]])
+    n = x.size
+    a = np.empty(n // 2)
+    d = np.empty(n // 2)
+    for k in range(n // 2):
+        seg = x[(2 * k + np.arange(lo.size)) % n]
+        a[k] = float(seg @ lo)
+        d[k] = float(seg @ hi)
+    return a, d
+
+
+def _o_wavelet_stats(x, level=7, min_len=1664):
+    if x.size < min_len:
+        return [0.0] * (6 * (level + 1))
+    a = x.astype(np.float64)
+    details = []
+    for _ in range(level):
+        if a.size < 2:
+            break
+        a, d = _o_dwt_level(a)
+        details.append(d)
+    bands = [a] + details[::-1]
+    out = []
+    for c in bands:
+        out += [c.max(), c.min(), c.mean(), float(np.median(c)), c.std(),
+                float((c ** 2).sum() / c.size)]
+    out += [0.0] * (6 * (level + 1) - len(out))
+    return out
+
+
+def _o_psd(x, fs=300.0, nfft=None):
+    n = x.size
+    if n == 0:
+        return np.array([0.0]), np.array([0.0])
+    if nfft is None or nfft < n:
+        nfft = n if nfft is None else nfft
+    X = np.fft.rfft(x, n=nfft)
+    p = (np.abs(X) ** 2) / (fs * n)
+    if nfft % 2 == 0:
+        p[1:-1] *= 2
+    else:
+        p[1:] *= 2
+    return np.fft.rfftfreq(nfft, d=1.0 / fs), p
+
+
+def _o_moments(t):
+    m = t.mean()
+    m2 = float(np.mean((t - m) ** 2))
+    sk = float(np.mean((t - m) ** 3) / m2 ** 1.5) if m2 > 0 else 0.0
+    ku = float(np.mean((t - m) ** 4) / m2 ** 2 - 3.0) if m2 > 0 else -3.0
+    return m2, sk, ku
+
+
+def _o_zero_cross(v):
+    c = v - v.mean()
+    zc, prev = 0, 0
+    for x in c:
+        s = 1 if x > 0 else (-1 if x < 0 else prev)
+        if prev != 0 and s != 0 and s != prev:
+            zc += 1
+        if s != 0:
+            prev = s
+    return zc
+
+
+def _o_zigzag(v):
+    zz, prev_d = 0, 0
+    for i in range(1, len(v)):
+        d = 1 if v[i] > v[i - 1] else (-1 if v[i] < v[i - 1] else 0)
+        if d != 0:
+            if prev_d != 0 and d != prev_d:
+                zz += 1
+            prev_d = d
+    return zz
+
+
+def _o_autocorr(v, lags):
+    out = []
+    for k in range(lags):
+        if v.size - k < 2:
+            out += [0.0] * (lags - k)
+            break
+        a, b = v[: v.size - k], v[k:]
+        sa = np.sqrt(np.mean((a - a.mean()) ** 2))
+        sb = np.sqrt(np.mean((b - b.mean()) ** 2))
+        if sa == 0 or sb == 0:
+            out.append(0.0)
+        else:
+            out.append(float(np.mean((a - a.mean()) * (b - b.mean())) / (sa * sb)))
+    return out
+
+
+def oracle_long_vector(v):
+    """LONG family (order stats, zero-cross, SNR, total+band power ×3,
+    autocorr 12, zigzag ×2, wavelet 48) — direct formulas."""
+    ps = np.percentile(v, [1, 5, 10, 25, 75, 90, 95, 99, 50])
+    p1, p5, p10, p25, p75, p90, p95, p99, med = ps
+    m2, sk, ku = _o_moments(v)
+    freqs, pxx = _o_psd(v)
+    hi = pxx[freqs >= 5.0].sum()
+    lo = pxx[freqs < 5.0].sum()
+    snr = float(lo / hi) if hi > 0 else 0.0
+    _, pxx_tot = _o_psd(v, nfft=max(4500, v.size))
+    bands = (0.0, 1.5, 4.0, 8.0, 20.0, 100.0, 150.0)
+    bp = [float(pxx[(freqs >= bands[i]) & (freqs < bands[i + 1])].sum()) for i in range(6)]
+    out = [v.max() - v.min(), m2, sk, ku, med, p1, p5, p10, p25, p75, p90, p95, p99,
+           p75 - p25, p90 - p10, p95 - p5, p99 - p1,
+           float(_o_zero_cross(v)), snr, float(pxx_tot.sum())]
+    out += bp * 3
+    out += _o_autocorr(v, 12)
+    out += [float(_o_zigzag(v))] * 2
+    out += _o_wavelet_stats(v, min_len=64)
+    return out
+
+
+def _o_basic(t, trimmed):
+    t = t[1:-1] if trimmed else t
+    if t.size == 0:
+        return [0.0] * (15 if trimmed else 11)
+    p5, p25, p75, p95 = np.percentile(t, [5, 25, 75, 95])
+    m2, sk, ku = _o_moments(t)
+    out = [t.mean()]
+    if trimmed:
+        out += [60000.0 / t.mean() if t.mean() != 0 else 0.0, float(t.size)]
+    out += [float(t.max() - t.min()), m2, sk, ku, float(np.median(t)), float(t.min()),
+            float(p5), float(p25), float(p75), float(p95)]
+    if trimmed:
+        out += [float(p75 - p25), float(p95 - p5)]
+        return out
+    return out[:11]
+
+
+def _o_sampen_qrs(u, mm=3, r=0.2):
+    """SampleEn wrapper semantics; pair counting by whole pairwise Chebyshev
+    matrices (the textbook definition — unlike the engine's diagonal sweep)."""
+    if u.size < 5:
+        return [0.0] * mm
+    x = u[:2000]
+    counts = []
+    for m in range(1, mm + 2):
+        n_t = x.size - m + 1
+        if n_t < 2:
+            counts.append(0)
+            continue
+        emb = np.lib.stride_tricks.sliding_window_view(x, m)
+        c = 0
+        blk = max(1, 4_000_000 // max(1, n_t * m))
+        for i0 in range(0, n_t, blk):
+            sub = emb[i0 : i0 + blk]
+            d = np.abs(sub[:, None, :] - emb[None, :, :]).max(axis=2)
+            rows = np.arange(i0, i0 + sub.shape[0])[:, None]
+            cols = np.arange(n_t)[None, :]
+            c += int(np.count_nonzero((d <= r) & (cols > rows)))
+        counts.append(c)
+    out = []
+    for m in range(1, mm + 1):
+        prev, cnt = counts[m - 1], counts[m]
+        out.append(float(-math.log(cnt / prev)) if prev and cnt else 100.0)
+    return out
+
+
+def oracle_qrs_vector(ts_us, v):
+    u = np.diff(ts_us).astype(np.float64) / 1000.0
+    if u.size == 0:
+        return [0.0] * len(oracle_qrs_names())
+    # 3-point rolling median preprocess
+    rm = u.copy()
+    for i in range(1, u.size - 1):
+        rm[i] = float(np.median(u[i - 1 : i + 2]))
+    b1 = _o_basic(u, True)
+    b2 = _o_basic(rm, False)
+    b3 = _o_basic(np.diff(u[1:-1]) if u.size >= 4 else np.array([]), False)
+    # first-match descending bins on |u - 240|
+    bins = []
+    for offs in ([240, 128, 64, 32, 16, 8, 4, 1], [240, 128, 64, 32, 8]):
+        cnt = [0] * len(offs)
+        for val in np.abs(u - 240.0):
+            for bi, o in enumerate(offs):
+                if val >= o:
+                    cnt[bi] += 1
+                    break
+        bins += [float(c) for c in cnt] + [c / u.size for c in cnt]
+    # yuxi
+    med = float(np.median(u))
+    yux = [0.0, 0.0, 0.0]
+    if med != 0:
+        r = u / med
+        yux[0] = float(np.count_nonzero(np.abs(r - 1) <= 0.05)) / u.size
+        near2 = np.abs(r - 2) <= 0.1
+        if u.size >= 2:
+            s2 = (u[:-1] + u[1:]) / med
+            hit = np.abs(s2 - 2) <= 0.1
+            near2[:-1] |= hit
+            near2[1:] |= hit
+        yux[1] = float(np.count_nonzero(near2)) / u.size
+        yux[2] = float(np.count_nonzero(np.abs(r - 3) <= 0.15000000000000002)) / u.size
+    # variability
+    var5 = [0.0] * 5
+    if u.size >= 3:
+        d = np.diff(u)
+        var5[0] = float(u.std())
+        var5[1] = float(np.count_nonzero(np.abs(d) > 50))
+        var5[2] = var5[1] / d.size
+        denom = float(np.mean(u[:-1] + u[1:]))
+        step = float(np.mean(np.sqrt(d[:-1] ** 2 + d[1:] ** 2))) if d.size >= 2 else 0.0
+        var5[3] = step / denom if denom != 0 else 0.0
+        if d.size >= 2:
+            sd1 = np.sqrt(0.5 * np.var(d))
+            sd2sq = 2 * np.var(u) - 0.5 * np.var(d)
+            sd2 = np.sqrt(sd2sq) if sd2sq > 0 else 0.0
+            var5[4] = float(sd1 / sd2) if sd2 != 0 else 0.0
+    # CoV
+    t = u[1:-1]
+    cov1 = float(t.std() / t.mean()) if t.size and t.mean() != 0 else 0.0
+    dt = np.diff(t)
+    cov2 = float(dt.std() / dt.mean()) if dt.size and dt.mean() != 0 else 0.0
+    mad = float(np.median(np.abs(u - np.median(u)))) if u.size else 0.0
+    # CDF mean: 60 bins over [100, 400] (np.histogram edge semantics)
+    edges = np.linspace(100.0, 400.0, 61)
+    sel = u[(u >= 100.0) & (u <= 400.0)]
+    bidx = np.minimum(np.searchsorted(edges, sel, side="right") - 1, 59)
+    hist = np.bincount(bidx, minlength=60)
+    cdf_mean = float((np.cumsum(hist) / u.size).mean())
+    return (b1 + b2 + b3 + bins + yux + var5 + [cov1, cov2, mad, cdf_mean]
+            + _o_sampen_qrs(u) + _o_autocorr(u, 3))
+
+
+def oracle_qrs_names():
+    from ecg_feature_engineering_ray.pipelines.feature_families import QRS_NAMES
+    return QRS_NAMES
+
+
+def oracle_short_vector(ts_us, v, gap_us=30_000_000):
+    starts = [0]
+    for i in range(1, len(ts_us)):
+        if ts_us[i] - ts_us[i - 1] > gap_us:
+            starts.append(i)
+    ends = starts[1:] + [len(ts_us)]
+    feats = []
+    for s, e in zip(starts, ends):
+        su = np.diff(ts_us[s:e]).astype(np.float64) / 1000.0
+        sv = v[s:e]
+        feats.append([float(e - s), (ts_us[e - 1] - ts_us[s]) / 1000.0,
+                      float(su.mean()) if su.size else 0.0,
+                      float(su.std()) if su.size else 0.0,
+                      float(sv.mean()), float(sv.max() - sv.min())])
+    m = np.asarray(feats)
+    out = []
+    for j in range(6):
+        col = m[:, j]
+        out += [float(col.mean()), float(col.max()), float(col.min()), float(col.std()),
+                float(np.percentile(col, 25)), float(np.percentile(col, 75))]
+    return out
+
+
+HRV_FAMILY_SAMPEN_MAX_N = 3000  # family pipeline runs the uncapped-default kernel
+
+
+def oracle_hrv_vector(ts_us, v):
+    """HRV family vector — flagship-oracle formulas, but SampEn at the
+    family pipeline's cap (3000), not the flagship's 400."""
+    row = oracle_feature_row(np.asarray(ts_us), np.asarray(v))
+    ts_us = np.sort(np.asarray(ts_us, dtype=np.int64))
+    u = (ts_us[1:] - ts_us[:-1]) / 1000.0
+    if len(u):
+        ut = u[:HRV_FAMILY_SAMPEN_MAX_N]
+        r = 0.2 * float(np.sqrt(np.mean((ut - ut.mean()) ** 2)))
+        se = _sampen_pair(u, 2, r, max_n=HRV_FAMILY_SAMPEN_MAX_N)
+        row["sampen_1"], row["sampen_2"] = se
+    return [row[k] for k in
+            ["sdnn", "max_rr", "min_rr", "mean_rr", "r_density", "pnn50", "rmssd",
+             "sampen_1", "sampen_2"]]
+
+
+def decode_events_channels(events_dir: str) -> pd.DataFrame:
+    """decode_events + per-channel means (independent single-thread loop)."""
+    tbl = pq.read_table(events_dir)
+    df = tbl.to_pandas()
+    vs, crs, cgs, cbs = [], [], [], []
+    for blob in df["bytes"]:
+        px, _ = decode_image(blob)
+        vs.append(px.mean() / 255.0)
+        crs.append(px[:, :, 0].astype(np.float64).mean() / 255.0)
+        cgs.append(px[:, :, 1].astype(np.float64).mean() / 255.0)
+        cbs.append(px[:, :, 2].astype(np.float64).mean() / 255.0)
+    df["v"], df["v_r"], df["v_g"], df["v_b"] = vs, crs, cgs, cbs
+    return df[["image_id", "ts", "v", "v_r", "v_g", "v_b", "caption"]]
+
+
+def oracle_family_table(events_dir: str, family: str, channels=("v",)) -> pd.DataFrame:
+    """Per (entity × caption label) family vectors — the family_features
+    oracle.  v-based families (long/short) replicate per channel."""
+    from ecg_feature_engineering_ray.pipelines.feature_families import (
+        HRV_NAMES, LONG_NAMES, QRS_NAMES, SHORT_NAMES,
+    )
+
+    ev = decode_events_channels(events_dir)
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    names = {"hrv": HRV_NAMES, "long": LONG_NAMES, "qrs": QRS_NAMES, "short": SHORT_NAMES}[family]
+    v_based = family in ("long", "short")
+    use_ch = channels if v_based else ("v",)
+    rows = []
+    for image_id, g in ev.sort_values("ts_us").groupby("image_id"):
+        ts = g.ts_us.values
+        vec = []
+        colnames = []
+        for ch in use_ch:
+            vv = g[ch].values.astype(np.float64)
+            if family == "hrv":
+                vec += oracle_hrv_vector(ts, vv)
+            elif family == "long":
+                vec += oracle_long_vector(vv)
+            elif family == "qrs":
+                vec += oracle_qrs_vector(ts, vv)
+            else:
+                vec += oracle_short_vector(ts, vv)
+            tag = f"{family}_" if (ch == "v" or not v_based) else f"{family}_{ch}_"
+            colnames += [tag + nm for nm in names]
+        for lab in g.caption.iloc[0].split(","):
+            rows.append({"image_id": image_id, "label": lab,
+                         **dict(zip(colnames, vec))})
+    return pd.DataFrame(rows)
+
+
+_DB6_LO = np.array([
+    0.11154074335008017, 0.4946238903983854, 0.7511339080215775, 0.3152503517092432,
+    -0.22626469396516913, -0.12976686756709563, 0.09750160558707936, 0.02752286553001629,
+    -0.031582039318031156, 0.0005538422009938016, 0.004777257511010651, -0.00107730108499558,
+])
+
+
+def _o_dwt_level_db6(x):
+    lo = _DB6_LO
+    hi = ((-1.0) ** np.arange(lo.size)) * lo[::-1]
+    if x.size % 2:
+        x = np.concatenate([x, x[-1:]])
+    n = x.size
+    a = np.empty(n // 2)
+    d = np.empty(n // 2)
+    for k in range(n // 2):
+        seg = x[(2 * k + np.arange(lo.size)) % n]
+        a[k] = float(seg @ lo)
+        d[k] = float(seg @ hi)
+    return a, d
+
+
+def _o_idwt_level_db6(a, d):
+    lo = _DB6_LO
+    hi = ((-1.0) ** np.arange(lo.size)) * lo[::-1]
+    n = 2 * a.size
+    out = np.zeros(n)
+    for k in range(a.size):
+        idx = (2 * k + np.arange(lo.size)) % n
+        np.add.at(out, idx, a[k] * lo + d[k] * hi)
+    return out
+
+
+def oracle_wt_denoise(x, level=5):
+    """WTfilt analog: db6 periodization decompose, zero A_L and D1/D2,
+    adjoint reconstruct — independent loop implementation."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.size < 2 ** level:
+        return x.copy()
+    a = x
+    details = []
+    for _ in range(level):
+        if a.size < 2:
+            break
+        a, d = _o_dwt_level_db6(a)
+        details.append(d)
+    coeffs = [np.zeros_like(a)] + details[::-1]
+    for i in (len(coeffs) - 1, len(coeffs) - 2):
+        if i >= 1:
+            coeffs[i] = np.zeros_like(coeffs[i])
+    rec = coeffs[0]
+    for d in coeffs[1:]:
+        rec = _o_idwt_level_db6(rec[: d.size], d)
+    return rec[: x.size]
+
+
+def _o_zero_cross_threshold(x, threshold=0.0):
+    """Sign-change count about an absolute threshold, zeros carry prior sign."""
+    zc, prev = 0, 0
+    for val in x - threshold:
+        s = 1 if val > 0 else (-1 if val < 0 else prev)
+        if prev != 0 and s != 0 and s != prev:
+            zc += 1
+        if s != 0:
+            prev = s
+    return zc
+
+
+def oracle_corpus_windows(events_dir: str, window=32, overlap=16,
+                          oversample=None, seed=5) -> pd.DataFrame:
+    """Independent corpus-windowing replay: explicit window loop, direct
+    spectrogram formula, md5 split/oversampling arithmetic."""
+    import hashlib
+
+    weights = oversample or {}
+    ev = decode_events(events_dir)
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    rows = []
+    step = window - overlap
+    for image_id, g in ev.sort_values("ts_us").groupby("image_id"):
+        labels = g.caption.iloc[0].split(",")
+        split = ("train" if int(hashlib.md5(f"split|{image_id}".encode()).hexdigest()[:2], 16) < 204
+                 else "test")
+        series = g.v.values.astype(np.float64)
+        n = series.size
+        wid, start = 0, 0
+        plan = []
+        while start < n:
+            if start + window <= n:
+                plan.append((wid, start, start + window))
+            else:
+                plan.append((wid, start, n))
+                break
+            wid += 1
+            start += step
+        for wid, ws, we in plan:
+            w = np.zeros(window)
+            w[: we - ws] = series[ws:we]
+            # spectrogram tile mean: boxcar frames nperseg=8 hop=4
+            nperseg, hop, fs = 8, 4, 300.0
+            x = w if w.size >= nperseg else np.pad(w, (0, nperseg - w.size))
+            n_frames = 1 + (x.size - nperseg) // hop
+            frames = np.stack([x[i * hop : i * hop + nperseg] for i in range(n_frames)])
+            p = (np.abs(np.fft.rfft(frames, axis=1)) ** 2) / (fs * nperseg)
+            spec_mean = float(np.log10(p.T + 1e-12).mean())
+            for lab in labels:
+                reps = weights.get(lab, 1)
+                h = int(hashlib.md5(f"{seed}|{image_id}|{wid}|{lab}".encode()).hexdigest()[:8], 16)
+                n_copies = int(reps) + (1 if h / 0xFFFFFFFF < reps - int(reps) else 0)
+                for _ in range(max(n_copies, 0)):
+                    rows.append({"image_id": image_id, "window_id": wid, "label": lab,
+                                 "split": split, "n_rows": we - ws,
+                                 "v_mean": round(float(w.mean()), 6),
+                                 "spec_power": round(spec_mean, 6)})
+    return pd.DataFrame(rows)
+
+
+def oracle_custom_featurespec(events_dir: str) -> pd.DataFrame:
+    """Independent replay of the FeatureSpec demo query: v_mean, v_p90,
+    u_max_ms, session-scoped sess_len rolled up mean/max/min/std."""
+    ev = decode_events(events_dir)
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    rows = []
+    for image_id, g in ev.sort_values("ts_us").groupby("image_id"):
+        ts = g.ts_us.values
+        v = g.v.values.astype(np.float64)
+        u = np.diff(ts).astype(np.float64) / 1000.0
+        brks = [0] + [i for i in range(1, len(ts)) if ts[i] - ts[i - 1] > SESSION_GAP_US]
+        ends = brks[1:] + [len(ts)]
+        sl = np.array([float(e - s) for s, e in zip(brks, ends)])
+        rows.append({
+            "image_id": image_id,
+            "v_mean": float(v.mean()),
+            "v_p90": float(np.percentile(v, 90)),
+            "u_max_ms": float(u.max()) if u.size else float("nan"),
+            "sess_len_mean": float(sl.mean()), "sess_len_max": float(sl.max()),
+            "sess_len_min": float(sl.min()), "sess_len_std": float(sl.std()),
+        })
+    return pd.DataFrame(rows)
+
+
+def oracle_deep_scores(events_dir: str, seed: int = 7) -> pd.DataFrame:
+    """Independent single-threaded replay of the deterministic stand-in
+    model: same seeded weights (the 'checkpoint'), per-image loop, explicit
+    4×4 pooling and softmax — no engine stage code."""
+    rng = np.random.default_rng(seed)
+    w1 = rng.normal(size=(16, 32))
+    w2 = rng.normal(size=(32, 9))
+    tbl = pq.read_table(events_dir)
+    df = tbl.to_pandas()
+    preds = []
+    for blob in df["bytes"]:
+        px, _ = decode_image(blob)
+        g = px.astype(np.float64).mean(axis=2) / 255.0
+        h, w = g.shape
+        qh, qw = max(h // 4, 1), max(w // 4, 1)
+        pooled = np.empty(16)
+        for bi in range(4):
+            for bj in range(4):
+                pooled[bi * 4 + bj] = g[bi * qh : (bi + 1) * qh, bj * qw : (bj + 1) * qw].mean()
+        logits = np.tanh(pooled @ w1) @ w2
+        z = logits - logits.max()
+        p = np.exp(z)
+        p /= p.sum()
+        preds.append(int(np.argmax(p)))
+    out = df[["image_id", "ts"]].copy()
+    out["pred_class"] = np.array(preds, dtype=np.int32)
+    return out
+
+
+def oracle_thumbnails(events_dir: str) -> pd.DataFrame:
+    """Independent thumbnail-size replay: decode, explicit nearest-neighbor
+    16×16 gather, re-encode with the shared codec (the data format)."""
+    from ecg_feature_engineering_ray.functions.codec import encode_image
+
+    tbl = pq.read_table(events_dir)
+    df = tbl.to_pandas()
+    sizes = []
+    for blob, fmt in zip(df["bytes"], df["fmt"]):
+        px, _ = decode_image(blob)
+        h, w, _c = px.shape
+        thumb = np.empty((16, 16, 3), dtype=np.uint8)
+        for i in range(16):
+            for j in range(16):
+                thumb[i, j] = px[min(i * h // 16, h - 1), min(j * w // 16, w - 1)]
+        sizes.append(len(encode_image(thumb, fmt)))
+    out = df[["image_id", "ts"]].copy()
+    out["thumb_bytes"] = np.array(sizes, dtype=np.int64)
+    return out

@@ -78,3 +78,27 @@ def test_features_joined_multichannel_width(fixture_events):
     # channel series are genuinely different signals
     assert not df["long_v_range"].equals(df["long_v_r_v_range"])
     assert {"long_v_r_v_range", "long_v_g_v_range", "long_v_b_v_range"} <= set(df.columns)
+
+
+def test_long_qrs_short_match_independent_oracle(fixture_events):
+    """Value-level gate for the LONG/QRS/SHORT compositions vs the
+    direct-formula oracle (tests/oracle.py) — 6-significant-digit agreement."""
+    from ecg_feature_engineering_ray.pipelines.queries import rnd_sig
+
+    from .oracle import oracle_family_table
+
+    events_dir, _ = fixture_events
+    for family in ("long", "qrs", "short"):
+        got = family_features(events_dir, family, num_buckets=4).to_pandas()
+        want = oracle_family_table(events_dir, family)
+        got = got.sort_values(["image_id", "label"]).reset_index(drop=True)
+        want = want.sort_values(["image_id", "label"]).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), family
+        assert len(got) == len(want), family
+        for c in got.columns:
+            if c in ("image_id", "label"):
+                assert (got[c] == want[c]).all(), (family, c)
+                continue
+            a, b = rnd_sig(got[c].to_numpy()), rnd_sig(want[c].to_numpy())
+            ok = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert ok.all(), (family, c, a[~ok][:3], b[~ok][:3])

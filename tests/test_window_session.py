@@ -95,3 +95,34 @@ def test_count_based_windows():
     assert len(w) == 5
     assert w[0] == (0, 0, 40)
     assert w[-1][2] <= 100 + 40
+
+
+def test_lance_write_seam(tmp_path, monkeypatch):
+    """S5/S6 format seam: when the lance package is available the partition
+    writer dispatches to lance.write_dataset; parquet otherwise."""
+    import sys
+    import types
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecg_feature_engineering_ray.state import checkpoint as cp
+
+    tbl = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+
+    # default (no lance in this container): parquet
+    out = cp.write_fragment(tbl, str(tmp_path / "part-0.parquet"))
+    assert out.endswith(".parquet")
+    import os
+    os.replace(out + ".tmp", out)
+    assert pq.read_table(out).num_rows == 3
+
+    # lance present: dispatches to lance.write_dataset with a .lance path
+    calls = {}
+    fake = types.ModuleType("lance")
+    fake.write_dataset = lambda table, path, mode: calls.update(path=path, rows=table.num_rows, mode=mode)
+    monkeypatch.setitem(sys.modules, "lance", fake)
+    monkeypatch.setattr(cp, "HAVE_LANCE", True)
+    out2 = cp.write_fragment(tbl, str(tmp_path / "part-1.parquet"))
+    assert out2.endswith(".lance")
+    assert calls["rows"] == 3 and calls["path"] == out2 + ".tmp" and calls["mode"] == "create"
