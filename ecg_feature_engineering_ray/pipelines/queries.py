@@ -1163,27 +1163,27 @@ def knn_topk(sf_dir: str, k: int = 5):
 @register(
     "near_dup_pairs",
     """
-    WITH mh AS (
-      SELECT doc_id, p.i AS perm, min(md5(concat(p.i, '|', t))) AS h
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) toks,
-           range(0, 8) p(i)
+    WITH grams0 AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+      FROM documents, range(1, 4097) t(i)
+      WHERE i <= greatest(length(text) - 4, 1)
+    ),
+    mh AS (
+      SELECT doc_id, p.i AS perm, min(md5(concat(p.i, '|', gram))) AS h
+      FROM grams0, range(0, 16) p(i)
       GROUP BY doc_id, p.i
     ),
     bandkeys AS (
-      SELECT doc_id, (perm // 2) AS band,
+      SELECT doc_id, (perm // 4) AS band,
              string_agg(substr(h, 1, 8), '' ORDER BY perm) AS key
-      FROM mh GROUP BY doc_id, (perm // 2)
+      FROM mh GROUP BY doc_id, (perm // 4)
     ),
     cand_pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bandkeys a JOIN bandkeys b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ),
-    grams AS (
-      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
-      FROM documents, range(1, 4097) t(i)  -- bound > max doc length in testdata
-      WHERE i <= greatest(length(text) - 4, 1)
-    ),
+    grams AS (SELECT * FROM grams0),
     gcounts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS ni
@@ -1205,10 +1205,13 @@ def knn_topk(sf_dir: str, k: int = 5):
     FROM jac WHERE jaccard >= 0.5
     """,
 )
-def near_dup_pairs(sf_dir: str, num_perm: int = 8, bands: int = 4, max_bucket: int = 4096):
+def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: int = 4096):
     """MinHash-LSH near-dup pairs verified by char-5-gram Jaccard.
 
-    ``num_perm`` md5-minhashes → ``bands`` bands of num_perm/bands rows; a
+    ``num_perm`` md5-minhashes over char-5-gram SHINGLES (the verify metric's
+    own feature space — see minhash_signature_shingles for why unigram-token
+    minhash collapses on small vocabularies) → ``bands`` bands of
+    num_perm/bands rows; a
     doc explodes into one (doc_id, band_key) row per band — the banded
     shuffle carries ONLY ids and 16-char keys, never the text (at 100 TB the
     corpus moves zero times through this exchange).  Same band-key ⇒
@@ -1228,7 +1231,7 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 8, bands: int = 4, max_bucket: i
         ids = batch.column("doc_id").to_pylist()
         out_id, out_band = [], []
         for did, t in zip(ids, texts):
-            mh = T.minhash_signature(t, num_perm=num_perm)
+            mh = T.minhash_signature_shingles(t, num_perm=num_perm)
             for b in range(bands):
                 key = f"{b}:" + "".join(h[:8] for h in mh[b * rows_per_band : (b + 1) * rows_per_band])
                 out_id.append(did)
