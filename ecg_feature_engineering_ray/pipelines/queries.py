@@ -2471,22 +2471,30 @@ def kernel_autocorr(sf_dir: str):
     + """
     , per_sess AS (
       SELECT user_id, session_id, count(*) AS n,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
              (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS dur_s,
              CASE WHEN count(*) > 1
                   THEN (epoch_us(max(ts)) - epoch_us(min(ts))) / (count(*) - 1) / 1e6
                   ELSE 0.0 END AS mean_u,
-             sum(ROUND(value * 100)) / 100 AS sum_v,
-             max(value) - min(value) AS amp_v
+             sum(ROUND(value * 100)) AS sum_c,
+             max(ROUND(value * 100)) - min(ROUND(value * 100)) AS amp_c
       FROM sess GROUP BY user_id, session_id
     )
+    -- means computed from exact integer µs/cents sums with a FIXED division
+    -- sequence (total / n_sessions / scale) so Ray and SQL are bit-identical
+    -- before rounding: decimal data sits exactly on round-half grid points,
+    -- where any summation-order difference would flip the last digit
     SELECT user_id,
       ROUND(avg(n), 6) AS sess_n_mean, CAST(max(n) AS BIGINT) AS sess_n_max,
       ROUND(quantile_cont(n, 0.75), 6) AS sess_n_p75,
-      ROUND(avg(dur_s), 6) AS sess_dur_mean, ROUND(max(dur_s), 6) AS sess_dur_max,
+      ROUND(sum(dur_us) / count(*) / 1e6, 6) AS sess_dur_mean,
+      ROUND(max(dur_us) / 1e6, 6) AS sess_dur_max,
       ROUND(quantile_cont(dur_s, 0.25), 6) AS sess_dur_p25,
-      ROUND(avg(mean_u), 6) AS sess_u_mean, ROUND(max(mean_u), 6) AS sess_u_max,
-      ROUND(avg(sum_v), 6) AS sess_v_mean, ROUND(min(sum_v), 6) AS sess_v_min,
-      ROUND(avg(amp_v), 6) AS sess_amp_mean, ROUND(max(amp_v), 6) AS sess_amp_max
+      ROUND(avg(mean_u), 4) AS sess_u_mean, ROUND(max(mean_u), 6) AS sess_u_max,
+      ROUND(sum(sum_c) / count(*) / 100, 6) AS sess_v_mean,
+      ROUND(min(sum_c) / 100, 6) AS sess_v_min,
+      ROUND(sum(amp_c) / count(*) / 100, 6) AS sess_amp_mean,
+      ROUND(max(amp_c) / 100, 6) AS sess_amp_max
     FROM per_sess GROUP BY user_id
     """,
 )
@@ -2502,29 +2510,38 @@ def kernel_session_rollup(sf_dir: str):
         ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
         vc = np.rint(np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64) * 100)
         v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
-        su, n_, dur, mu, sv, amp = [], [], [], [], [], []
+        su, n_, dur_us, mu, svc, ampc = [], [], [], [], [], []
         for s, e in zip(starts, ends):
             su.append(int(users[s]))
             n = e - s
             n_.append(n)
-            d = ts[e - 1] - ts[s]
-            dur.append(d / 1e6)
+            d = int(ts[e - 1] - ts[s])
+            dur_us.append(d)
             mu.append(d / (n - 1) / 1e6 if n > 1 else 0.0)
-            sv.append(vc[s:e].sum() / 100)
-            amp.append(v[s:e].max() - v[s:e].min())
+            svc.append(int(vc[s:e].sum()))
+            ampc.append(int(vc[s:e].max() - vc[s:e].min()))
         su = np.asarray(su)
         n_ = np.asarray(n_, dtype=np.float64)
-        dur, mu, sv, amp = map(np.asarray, (dur, mu, sv, amp))
+        dur_us = np.asarray(dur_us, dtype=np.int64)
+        mu = np.asarray(mu)
+        svc = np.asarray(svc, dtype=np.int64)
+        ampc = np.asarray(ampc, dtype=np.int64)
         uid, rows = [], []
         for u in np.unique(su):
             m = su == u
             uid.append(int(u))
+            ns = int(m.sum())
+            # exact integer totals with the SAME division sequence as the SQL
+            # oracle (total / n / scale) — bit-identical before rounding;
+            # sess_u_mean sums per-session float quotients (irreducibly
+            # order-dependent) so it rounds at 4 dp
             rows.append((
                 rnd(n_[m].mean()), int(n_[m].max()), rnd(np.percentile(n_[m], 75)),
-                rnd(dur[m].mean()), rnd(dur[m].max()), rnd(np.percentile(dur[m], 25)),
-                rnd(mu[m].mean()), rnd(mu[m].max()),
-                rnd(sv[m].mean()), rnd(sv[m].min()),
-                rnd(amp[m].mean()), rnd(amp[m].max()),
+                rnd(float(dur_us[m].sum()) / ns / 1e6), rnd(float(dur_us[m].max()) / 1e6),
+                rnd(np.percentile(dur_us[m] / 1e6, 25)),
+                rnd(mu[m].mean(), 4), rnd(mu[m].max()),
+                rnd(float(svc[m].sum()) / ns / 100), rnd(float(svc[m].min()) / 100),
+                rnd(float(ampc[m].sum()) / ns / 100), rnd(float(ampc[m].max()) / 100),
             ))
         names = ["sess_n_mean", "sess_n_max", "sess_n_p75", "sess_dur_mean", "sess_dur_max",
                  "sess_dur_p25", "sess_u_mean", "sess_u_max", "sess_v_mean", "sess_v_min",
