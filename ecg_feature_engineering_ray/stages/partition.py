@@ -90,12 +90,18 @@ def with_bucket(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def entity_counts(ds: Dataset, key: str) -> dict:
+def entity_counts(ds: Dataset, key: str, max_tracked: int | None = 1_000_000) -> dict:
     """Per-entity row counts via the shuffle-free partial-count pass.
 
-    Driver-side result — call on a pruned key column.  At 10^12 rows use the
-    thresholded variant (:func:`detect_hot_keys`) instead; full maps are for
-    bounded entity cardinality.
+    Driver-side result — call on a pruned key column.  ``max_tracked``
+    bounds driver memory with SPACE-SAVING semantics (Metwally et al. —
+    public heavy-hitters algorithm): when the map exceeds the cap, the
+    lightest keys are evicted and later arrivals of NEW keys inherit the
+    largest evicted count as a floor, so every surviving count is an
+    OVERESTIMATE by at most that floor.  Overestimates are safe for skew
+    planning (conservative packing/salting); exact counts for the light
+    tail don't matter because the tail rides the hash anyway.  Pass ``None``
+    for an exact unbounded map (test-scale cardinalities).
     """
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -103,10 +109,19 @@ def entity_counts(ds: Dataset, key: str) -> dict:
         return pa.table({key: vc.field("values"), "__cnt": vc.field("counts")})
 
     merged: dict = {}
+    floor = 0  # max count ever evicted — the space-saving overestimate bound
     partials = ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
     for b in partials.iter_batches(batch_format="pyarrow"):
         for v, c in zip(b.column(key).to_pylist(), b.column("__cnt").to_pylist()):
-            merged[v] = merged.get(v, 0) + c
+            prev = merged.get(v)
+            merged[v] = (floor + c) if prev is None else (prev + c)
+        if max_tracked and len(merged) > 2 * max_tracked:
+            keep = sorted(merged.items(), key=lambda kv: kv[1], reverse=True)
+            floor = max(floor, keep[max_tracked][1])
+            merged = dict(keep[:max_tracked])
+    if max_tracked and len(merged) > max_tracked:
+        keep = sorted(merged.items(), key=lambda kv: kv[1], reverse=True)
+        merged = dict(keep[:max_tracked])
     return merged
 
 

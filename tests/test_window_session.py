@@ -126,3 +126,29 @@ def test_lance_write_seam(tmp_path, monkeypatch):
     out2 = cp.write_fragment(tbl, str(tmp_path / "part-1.parquet"))
     assert out2.endswith(".lance")
     assert calls["rows"] == 3 and calls["path"] == out2 + ".tmp" and calls["mode"] == "create"
+
+
+def test_entity_counts_space_saving(ray_session):
+    """Bounded-memory entity counts: heavy keys exact-or-overestimated,
+    cap respected, light tail evicted safely."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ecg_feature_engineering_ray.stages.partition import entity_counts
+
+    rng = np.random.default_rng(3)
+    heavy = np.repeat(np.arange(5), 500)
+    light = rng.integers(1000, 3000, size=2000)
+    keys = np.concatenate([heavy, light])
+    rng.shuffle(keys)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+
+    exact = entity_counts(ds, "k", max_tracked=None)
+    assert all(exact[k] == 500 for k in range(5))
+
+    capped = entity_counts(ds.repartition(8), "k", max_tracked=50)
+    assert len(capped) <= 50
+    for k in range(5):
+        assert k in capped and capped[k] >= 500  # never underestimates heavies
