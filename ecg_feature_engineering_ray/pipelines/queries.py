@@ -1360,6 +1360,7 @@ def _flagship_expected(events_dir: str, queries_path: str) -> str:
         df = oracle_pit_features(events_dir, queries_path)
         for c in ORACLE_FEATURE_NAMES:
             df[c] = rnd_sig(df[c].to_numpy())
+        df["as_of_ts"] = df["as_of_ts"].astype("datetime64[us]")  # engine emits µs
         tbl = pa.Table.from_pandas(df[["image_id", "as_of_ts"] + ORACLE_FEATURE_NAMES],
                                    preserve_index=False)
         _pq.write_table(tbl, path + ".tmp")
