@@ -25,7 +25,7 @@ import ray.data
 from ..functions import text as T
 from ..functions.stats import percentiles
 from ..sources.readers import read_table
-from ..stages.asof import asof_join
+from ..stages.asof import asof_join, asof_self_join
 from ..stages.groupagg import global_agg, grouped_agg
 from ..stages.joins import broadcast_join
 from ..stages.partition import entity_segments, grouped_sorted_apply
@@ -315,24 +315,23 @@ def asof_error_features(sf_dir: str):
     """Point-in-time features of each 'error' event over the user's prior
     non-error history — zero temporal leakage (J3)."""
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type", "value"])
-    left = ds.filter(expr="event_type == 'error'").select_columns(["user_id", "ts", "event_id"])
-    right = ds.filter(expr="event_type != 'error'").select_columns(["user_id", "ts", "value"])
-    # integer-cents column so the prefix-mean is an exact-integer sum (see RR_SQL note)
-    right = right.map_batches(
-        lambda b: b.append_column(
-            "value_c", pa.array(np.rint(np.asarray(b.column("value").combine_chunks()) * 100))
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    out = asof_join(
-        left, right, key="user_id", left_ts="ts", right_ts="ts",
+    # self-as-of join: one scan tags both sides (queries = error events,
+    # history = everything else); integer-cents derived column keeps the
+    # prefix-mean an exact-integer sum (see RR_SQL note)
+    out = asof_self_join(
+        ds, key="user_id", ts_col="ts",
+        left_mask=lambda b: pc.equal(b.column("event_type"), "error"),
+        right_mask=lambda b: pc.not_equal(b.column("event_type"), "error"),
         aggs={
             "n_prior": ("value_c", "count"),
             "mean_prior_c": ("value_c", "mean"),
             "last_prior_value": ("value", "last"),
             "max_prior_value": ("value", "max"),
         },
-        left_cols=["event_id"], num_buckets=NB,
+        left_cols=["event_id"],
+        right_exprs={"value_c": lambda rb: pa.array(
+            np.rint(np.asarray(rb.column("value").combine_chunks(), dtype=np.float64) * 100))},
+        num_buckets=NB,
     )
 
     def shape(batch: pa.Table) -> pa.Table:
@@ -366,16 +365,14 @@ def asof_error_features(sf_dir: str):
 def asof_last_purchase(sf_dir: str):
     """Native last-event-before semantics (DuckDB ASOF JOIN as oracle)."""
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-    left = ds.filter(expr="event_type == 'error'").select_columns(["user_id", "ts", "event_id"])
-    right = ds.filter(expr="event_type == 'purchase'").select_columns(["user_id", "ts"])
-    right = right.map_batches(
-        lambda b: b.append_column("ev_ts", b.column("ts")),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    out = asof_join(
-        left, right, key="user_id", left_ts="ts", right_ts="ts",
+    out = asof_self_join(
+        ds, key="user_id", ts_col="ts",
+        left_mask=lambda b: pc.equal(b.column("event_type"), "error"),
+        right_mask=lambda b: pc.equal(b.column("event_type"), "purchase"),
         aggs={"last_purchase_ts": ("ev_ts", "last")},
-        left_cols=["event_id"], num_buckets=NB,
+        left_cols=["event_id"],
+        right_exprs={"ev_ts": lambda rb: rb.column("ts").cast(pa.timestamp("us")).combine_chunks().cast(pa.int64())},
+        num_buckets=NB,
     )
     return out.map_batches(
         lambda b: pa.table(
@@ -2104,22 +2101,19 @@ def asof_windowed_features(sf_dir: str):
     window ending at each error event (w* agg family — the PIT feature-store
     staple the reference's whole-record stats generalize to)."""
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type", "value"])
-    left = ds.filter(expr="event_type == 'error'").select_columns(["user_id", "ts", "event_id"])
-    right = ds.filter(expr="event_type != 'error'").select_columns(["user_id", "ts", "value"])
-    right = right.map_batches(
-        lambda b: b.append_column(
-            "value_c", pa.array(np.rint(np.asarray(b.column("value").combine_chunks()) * 100))
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    out = asof_join(
-        left, right, key="user_id", left_ts="ts", right_ts="ts",
+    out = asof_self_join(
+        ds, key="user_id", ts_col="ts",
+        left_mask=lambda b: pc.equal(b.column("event_type"), "error"),
+        right_mask=lambda b: pc.not_equal(b.column("event_type"), "error"),
         aggs={
             "w_n": ("value_c", "wcount"),
             "w_mean_c": ("value_c", "wmean"),
             "w_max": ("value", "wmax"),
         },
-        left_cols=["event_id"], num_buckets=NB,
+        left_cols=["event_id"],
+        right_exprs={"value_c": lambda rb: pa.array(
+            np.rint(np.asarray(rb.column("value").combine_chunks(), dtype=np.float64) * 100))},
+        num_buckets=NB,
         window_us=2 * 3600 * 1_000_000,
     )
 

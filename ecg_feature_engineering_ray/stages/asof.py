@@ -274,3 +274,72 @@ def asof_join(
     return grouped_sorted_apply(
         unioned, key, ["__ts", SIDE_COL], per_bucket, num_buckets, hot_keys=hot_keys
     )
+
+
+def asof_self_join(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    left_mask: Callable[[pa.Table], pa.Array],
+    right_mask: Callable[[pa.Table], pa.Array],
+    aggs: dict[str, tuple[str, str]],
+    left_cols: list[str],
+    right_exprs: "dict[str, Callable[[pa.Table], pa.Array]] | None" = None,
+    num_buckets: int = 64,
+    hot_keys: list | None = None,
+    window_us: int | None = None,
+) -> Dataset:
+    """Point-in-time join of a stream AGAINST ITSELF — one read, one pass.
+
+    The common "features of event X over the same stream's prior history"
+    shape (e.g. each error event over prior non-error events) would pay two
+    filtered scans through :func:`asof_join`; here each input batch is
+    tagged into both sides in a SINGLE ``map_batches`` so the source is read
+    once.  ``left_mask``/``right_mask`` select the query/event rows;
+    ``right_exprs`` derive extra value columns (name → fn(right_rows) →
+    Array), e.g. exact integer cents.  Same merge semantics as
+    :func:`asof_join`.
+    """
+    right_exprs = right_exprs or {}
+    agg_srcs = sorted({src for src, _ in aggs.values()})
+    ts_t = pa.timestamp("us")
+
+    def tag_both(batch: pa.Table) -> pa.Table:
+        lmask = left_mask(batch)
+        rmask = right_mask(batch)
+        lb = batch.filter(lmask)
+        rb = batch.filter(rmask)
+        rvals: dict[str, pa.Array] = {}
+        for name, fn in right_exprs.items():
+            rvals[name] = fn(rb)
+        for c in agg_srcs:
+            if c not in rvals:
+                rvals[c] = rb.column(c).combine_chunks()
+        lcols = {key: lb.column(key), "__ts": lb.column(ts_col).cast(ts_t)}
+        for c in left_cols:
+            lcols[c] = lb.column(c)
+        for c in agg_srcs:
+            lcols[c] = pa.nulls(lb.num_rows, rvals[c].type)
+        lcols[SIDE_COL] = pa.array(np.ones(lb.num_rows, dtype=np.int8))
+        rcols = {key: rb.column(key), "__ts": rb.column(ts_col).cast(ts_t)}
+        for c in left_cols:
+            rcols[c] = pa.nulls(rb.num_rows, batch.schema.field(c).type)
+        for c in agg_srcs:
+            rcols[c] = rvals[c]
+        rcols[SIDE_COL] = pa.array(np.zeros(rb.num_rows, dtype=np.int8))
+        return pa.concat_tables([pa.table(lcols), pa.table(rcols)])
+
+    unioned = ds.map_batches(tag_both, batch_format="pyarrow", zero_copy_batch=True)
+    out_cols = [key, "__ts"] + [c for c in left_cols if c not in (key, "__ts")]
+
+    def per_bucket(sorted_tbl: pa.Table) -> pa.Table:
+        merged = asof_merge_table(
+            sorted_tbl, key, "__ts", aggs, out_cols, window_us=window_us,
+        )
+        return merged.rename_columns(
+            [ts_col if c == "__ts" else c for c in merged.column_names]
+        )
+
+    return grouped_sorted_apply(
+        unioned, key, ["__ts", SIDE_COL], per_bucket, num_buckets, hot_keys=hot_keys
+    )
