@@ -125,3 +125,49 @@ def test_out_of_order_arrival_equals_sorted(fixture_events, fixture_queries, tmp
     g = got.sort_values(key).reset_index(drop=True)
     assert (b.n_events.values == g.n_events.values).all()
     assert np.allclose(b.mean_phash.values, g.mean_phash.values, equal_nan=True)
+
+
+def test_self_join_equals_two_input_join(fixture_events, fixture_queries):
+    """asof_self_join (single read, both sides tagged per batch) must be
+    row-for-row identical to the two-input asof_join on the same split."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ecg_feature_engineering_ray.sources.readers import read_events
+    from ecg_feature_engineering_ray.stages.asof import asof_join, asof_self_join
+
+    events_dir, _ = fixture_events
+    ds = read_events(events_dir, columns=["image_id", "ts", "fmt", "phash"])
+    aggs = {"n_png": ("phash", "count"), "last_ph": ("phash", "last")}
+
+    self_out = asof_self_join(
+        ds, key="image_id", ts_col="ts",
+        left_mask=lambda b: pc.equal(b.column("fmt"), "jpeg"),
+        right_mask=lambda b: pc.equal(b.column("fmt"), "png"),
+        aggs=aggs, left_cols=["phash"], num_buckets=4,
+    ).to_pandas()
+
+    left = ds.filter(expr="fmt == 'jpeg'").select_columns(["image_id", "ts", "phash"])
+    right = ds.filter(expr="fmt == 'png'").select_columns(["image_id", "ts", "phash"])
+    two_out = asof_join(
+        left, right, key="image_id", left_ts="ts", right_ts="ts",
+        aggs=aggs, left_cols=["phash"], num_buckets=4,
+    ).to_pandas()
+
+    key_cols = ["image_id", "ts", "phash"]
+    a = self_out.sort_values(key_cols).reset_index(drop=True)
+    b = two_out.sort_values(key_cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, equal_nan=True), c
+        else:
+            assert (pd_isnull_safe(av) == pd_isnull_safe(bv)).all(), c
+
+
+def pd_isnull_safe(v):
+    import pandas as pd
+
+    return pd.Series(v).fillna(-1)
