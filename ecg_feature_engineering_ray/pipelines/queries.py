@@ -2729,3 +2729,35 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+@register(
+    "bernoulli_sample_docs",
+    """
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 4))::INT < 6554
+    GROUP BY lang
+    """,
+)
+def bernoulli_sample_docs(sf_dir: str, rate: float = 0.1, seed: str = "sample"):
+    """O-section downsampling: deterministic ~10% Bernoulli sample keyed by
+    md5(seed|doc_id) — retry-safe (no RNG state, same rows survive a task
+    retry), the sampling dual of the oversampling and hash-split operators
+    (replaces np.random row sampling, preprocess-300hz.py:315-341)."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    cut = int(np.floor(rate * 65536 + 0.5))  # 6554 at 10% — matches the SQL literal
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = pa.array(
+            [int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:4], 16) < cut for i in ids]
+        )
+        return batch.filter(mask)
+
+    sampled = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(sampled, ["lang"],
+                       {"n_sampled": ("*", "count"), "sampled_chars": ("n_chars", "sum")})
