@@ -29,6 +29,13 @@ MAGIC = b"EFR1"
 _FMT_CODE = {"png": 0, "jpeg": 1}
 _FMT_NAME = {0: "png", 1: "jpeg"}
 JPEG_QUANT_STEP = 2
+# The uint8 re-quantization below ((p//q)*q + q//2) is overflow-free only
+# when the top bin's center fits in a byte; q=2 satisfies it, but e.g. q=5
+# gives 255+2=257 and would WRAP in uint8.  Guard statically so a future
+# constant change fails at import, not by corrupting payloads.
+assert (255 // JPEG_QUANT_STEP) * JPEG_QUANT_STEP + JPEG_QUANT_STEP // 2 <= 255, (
+    "JPEG_QUANT_STEP would overflow uint8 re-quantization — widen the dtype"
+)
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:

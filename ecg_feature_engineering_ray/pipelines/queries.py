@@ -1260,39 +1260,58 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
         lambda g: g.head(1), batch_format="pandas"
     )
 
-    # fetch texts for candidate docs ONLY: the candidate-id set is small by
-    # LSH construction (bounded driver state), the corpus is only filtered
-    cand_ids: set[int] = set()
-    for b in deduped.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b.column("doc_a").to_pylist())
-        cand_ids.update(b.column("doc_b").to_pylist())
-    texts: dict[int, str] = {}
-    if cand_ids:
-        id_arr = pa.array(sorted(cand_ids), pa.int64())
-        docs = ds.map_batches(
-            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=id_arr)),
-            batch_format="pyarrow", zero_copy_batch=True,
+    # DISTRIBUTED verification: the driver only ever touches pair IDS (16
+    # bytes each); candidate TEXTS never aggregate anywhere central.  The
+    # pair list is broadcast (ray.put) into a filtered corpus scan that
+    # routes each candidate doc's text to the pairs that need it, and exact
+    # Jaccard runs inside a groupby(pair) shuffle — on a dup-heavy 100-TB
+    # crawl the texts ride the (candidate-only) exchange, not the driver.
+    pair_rows = [(int(r["doc_a"]), int(r["doc_b"])) for r in deduped.take_all()]
+    if not pair_rows:
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
         )
-        for b in docs.iter_batches(batch_format="pyarrow"):
-            texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
-    tref = ray.put(texts)
+    doc2pairs: dict[int, list[str]] = {}
+    for a, b in pair_rows:
+        pk = f"{a}|{b}"
+        doc2pairs.setdefault(a, []).append(pk)
+        doc2pairs.setdefault(b, []).append(pk)
+    pref = ray.put(doc2pairs)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(tref)
-        da = batch.column("doc_a").to_pylist()
-        db = batch.column("doc_b").to_pylist()
-        grams = {d: T.char_ngrams(tx[d]) for d in set(da) | set(db)}
-        out = [(a, b, T.jaccard(grams[a], grams[b])) for a, b in zip(da, db)]
-        out = [(a, b, j) for a, b, j in out if j >= 0.5]
-        return pa.table(
-            {
-                "doc_a": pa.array([a for a, _, _ in out], pa.int64()),
-                "doc_b": pa.array([b for _, b, _ in out], pa.int64()),
-                "jaccard": pa.array(rnd(np.array([j for _, _, j in out], dtype=np.float64)), pa.float64()),
-            }
-        )
+    def route_texts(batch: pa.Table) -> pa.Table:
+        d2p = ray.get(pref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_pk, out_id, out_tx = [], [], []
+        for did, t in zip(ids, texts):
+            for pk in d2p.get(did, ()):
+                out_pk.append(pk)
+                out_id.append(did)
+                out_tx.append(t)
+        return pa.table({"pair": pa.array(out_pk, pa.string()),
+                         "doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
 
-    return deduped.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    routed = ds.map_batches(route_texts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify_pair(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        a_s, b_s = group["pair"].iloc[0].split("|")
+        a, b = int(a_s), int(b_s)
+        tx = dict(zip(group["doc_id"], group["text"]))
+        if a not in tx or b not in tx:
+            return empty
+        j = T.jaccard(T.char_ngrams(tx[a]), T.char_ngrams(tx[b]))
+        if j < 0.5:
+            return empty
+        return pd.DataFrame({"doc_a": [a], "doc_b": [b],
+                             "jaccard": rnd(np.array([j], dtype=np.float64))})
+
+    return routed.groupby("pair").map_groups(verify_pair, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -2679,11 +2698,16 @@ bands AS (
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
-def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 4096):
     """SimHash near-duplicate pairs: 4×16-bit band index (a pair within
     hamming ≤ 3 of 64 bits must collide in ≥1 band by pigeonhole), exact
     hamming verify inside each band bucket, cross-band dedup.  The banded
-    shuffle carries only (doc_id, band key, simhash) — never the text."""
+    shuffle carries only (doc_id, band key, simhash) — never the text.
+    A bucket above ``max_bucket`` docs fails loudly (same contract as
+    near_dup_pairs): a degenerate 16-bit band key — boilerplate or empty
+    docs sharing a simhash — would make the in-bucket verify O(n²); that
+    means the banding is wrong for the corpus, not that the work should
+    quietly proceed."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -2711,6 +2735,11 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
                               "hamming": pd.Series(dtype="int64")})
         if len(group) < 2:
             return empty
+        if len(group) > max_bucket:
+            raise ValueError(
+                f"simhash band bucket of {len(group)} docs > max_bucket={max_bucket}: "
+                "degenerate band key (boilerplate/empty docs?) — re-band or pre-filter"
+            )
         g = group.sort_values("doc_id").reset_index(drop=True)
         ids = g.doc_id.to_numpy()
         sh = g.simhash.to_numpy().astype(np.uint64)

@@ -50,33 +50,48 @@ def grouped_agg(
     count_rows = any(fn == "count" and src == "*" for src, fn in specs.values())
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(
+        # Arrow-native partial: pa.TableGroupBy hash-aggregates without a
+        # pandas round-trip, so the combiner stays zero-copy on the batch.
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        t = batch.select(
             sorted(set(keys) | need_cents | need_sum | need_sumsq | need_min | need_max | need_cnt | need_distinct)
-        ).to_pandas()
-        for src in need_cents:
-            df[f"__c_{src}"] = np.rint(df[src].astype(float) * 100)
-        g = df.groupby(keys, sort=False, dropna=False)
-        out = {}
+        )
+        aggs: list[tuple[str, str]] = []
+        rename: dict[str, str] = {}
         for src in need_cents:
             # integer-cents partial sums are exact in float64 → final result
             # is order-independent and bit-identical to a SQL oracle's
-            out[f"__cents_{src}"] = g[f"__c_{src}"].sum()
+            c = pc.round(pc.multiply(pc.cast(t.column(src), pa.float64()), 100.0))
+            t = t.append_column(f"__c_{src}", c)
+            aggs.append((f"__c_{src}", "sum"))
+            rename[f"__c_{src}_sum"] = f"__cents_{src}"
         for src in need_sum:
-            out[f"__sum_{src}"] = g[src].sum()
+            aggs.append((src, "sum"))
+            rename[f"{src}_sum"] = f"__sum_{src}"
         for src in need_sumsq:
-            out[f"__sumsq_{src}"] = g[src].apply(lambda s: float((s.astype(float) ** 2).sum()))
+            f = pc.cast(t.column(src), pa.float64())
+            t = t.append_column(f"__sq_{src}", pc.multiply(f, f))
+            aggs.append((f"__sq_{src}", "sum"))
+            rename[f"__sq_{src}_sum"] = f"__sumsq_{src}"
         for src in need_min:
-            out[f"__min_{src}"] = g[src].min()
+            aggs.append((src, "min"))
+            rename[f"{src}_min"] = f"__min_{src}"
         for src in need_max:
-            out[f"__max_{src}"] = g[src].max()
+            aggs.append((src, "max"))
+            rename[f"{src}_max"] = f"__max_{src}"
         for src in need_cnt:
-            out[f"__cnt_{src}"] = g[src].count()
+            aggs.append((src, "count"))
+            rename[f"{src}_count"] = f"__cnt_{src}"
         for src in need_distinct:
-            out[f"__set_{src}"] = g[src].agg(lambda s: list(s.dropna().unique()))
+            aggs.append((src, "distinct"))
+            rename[f"{src}_distinct"] = f"__set_{src}"
         if count_rows:
-            out["__rows"] = g.size()
-        pdf = pd.DataFrame(out).reset_index()
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+            t = t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+            aggs.append(("__one", "sum"))
+            rename["__one_sum"] = "__rows"
+        res = pa.TableGroupBy(t, keys).aggregate(aggs)
+        return res.rename_columns([rename.get(c, c) for c in res.column_names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -101,7 +116,9 @@ def grouped_agg(
                 ss = group[f"__sumsq_{src}"].sum()
                 v = np.sqrt(max(ss - s * s / n, 0.0) / (n - 1)) if n > 1 else np.nan
             elif fn == "count_distinct":
-                v = len({x for lst in group[f"__set_{src}"] for x in lst})
+                # arrow 'distinct' partials may carry nulls — drop them here
+                v = len({x for lst in group[f"__set_{src}"] for x in lst
+                         if x is not None and x == x})
             else:
                 raise ValueError(fn)
             if round_to is not None and isinstance(v, (float, np.floating)):

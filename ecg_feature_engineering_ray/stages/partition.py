@@ -162,27 +162,22 @@ def plan_buckets(
     return out
 
 
-def detect_hot_keys(ds: Dataset, key: str, hot_frac: float = 0.05, max_keys: int = 64) -> list:
+def detect_hot_keys(
+    ds: Dataset,
+    key: str,
+    hot_frac: float = 0.05,
+    max_keys: int = 64,
+    max_tracked: int | None = 1_000_000,
+) -> list:
     """Find entity keys holding more than ``hot_frac`` of all rows.
 
-    Two-phase, shuffle-free on the big side: per-batch partial value counts
-    (only counts that could matter survive), then a tiny driver-side merge.
-    At 10^12 rows the surviving partials are O(batches × heavy keys), not
-    O(rows).
+    Built on :func:`entity_counts`, so driver memory is bounded by the same
+    space-saving eviction (``max_tracked`` survivors, counts overestimated
+    by at most the eviction floor).  Overestimates only ever flag MORE keys
+    hot — conservative and safe for salting; a truly hot key (≥ hot_frac of
+    rows) can never be evicted because eviction drops the lightest keys.
     """
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        col = batch.column(key).combine_chunks()
-        vc = col.value_counts()
-        return pa.table({key: vc.field("values"), "__cnt": vc.field("counts")})
-
-    partials = ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-    # The partials stream is tiny relative to input (uniques per batch);
-    # merge on the driver without any shuffle of the big side.
-    merged: dict = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for v, c in zip(b.column(key).to_pylist(), b.column("__cnt").to_pylist()):
-            merged[v] = merged.get(v, 0) + c
+    merged = entity_counts(ds, key, max_tracked=max_tracked)
     total = sum(merged.values())
     if total == 0:
         return []
