@@ -135,23 +135,39 @@ def pit_features(
     # replicated into every group — each salt bucket still sees the full
     # event history, so results are identical; work for one hot entity
     # spreads over k workers.
-    def _skey_left(ids: list, ts: np.ndarray) -> list:
-        if not salt:
-            return ids
-        out = []
-        for i, eid in enumerate(ids):
-            k = salt.get(eid)
-            out.append(eid if k is None else f"{eid}#{int(ts[i]) % k}")
-        return out
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    def _salt_k_per_row(id_col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, pa.Array]:
+        """Per-row salt-group count via a LUT over the batch's UNIQUE keys
+        (dictionary-encode → fromiter over the dictionary only — no per-row
+        Python, same trick as partition.with_bucket).  Returns (k_per_row,
+        dict-decoded id array)."""
+        d = (id_col.combine_chunks() if isinstance(id_col, pa.ChunkedArray) else id_col).dictionary_encode()
+        idx = np.asarray(d.indices)
+        lut = np.fromiter(
+            (salt.get(v, 1) for v in d.dictionary.to_pylist()),
+            dtype=np.int64, count=len(d.dictionary),
+        )
+        return lut[idx], d
 
     def tag_left(b: pa.Table) -> pa.Table:
         ts = b.column("as_of_ts").cast(pa.timestamp("us"))
-        ids = b.column("image_id").to_pylist()
-        skey = _skey_left(ids, np.asarray(ts.cast(pa.int64()).combine_chunks()))
+        ids = b.column("image_id")
+        if not salt:
+            skey = ids.cast(pa.string())  # Arrow column reuse — no Python rows
+        else:
+            ids_c = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids).cast(pa.string())
+            k, _ = _salt_k_per_row(ids)
+            ts_i = np.asarray(ts.cast(pa.int64()).combine_chunks())
+            mod = np.mod(ts_i, np.maximum(k, 1))
+            salted = pc.binary_join_element_wise(
+                ids_c, pa.array(mod.astype("U"), pa.string()), "#"
+            )
+            skey = pc.if_else(pa.array(k > 1), salted, ids_c)
         return pa.table(
             {
-                "__skey": pa.array(skey, pa.string()),
-                "image_id": b.column("image_id"),
+                "__skey": skey,
+                "image_id": ids,
                 "__ts": ts,
                 "v": pa.nulls(b.num_rows, pa.float64()),
                 SIDE_COL: pa.array(np.ones(b.num_rows, np.int8)),
@@ -159,32 +175,34 @@ def pit_features(
         )
 
     def tag_right(b: pa.Table) -> pa.Table:
-        ids = b.column("image_id").to_pylist()
-        if salt and any(eid in salt for eid in set(ids)):
-            idx, skeys = [], []
-            for i, eid in enumerate(ids):
-                k = salt.get(eid)
-                if k is None:
-                    idx.append(i)
-                    skeys.append(eid)
-                else:  # replicate the event into every salt bucket
-                    for j in range(k):
-                        idx.append(i)
-                        skeys.append(f"{eid}#{j}")
-            take = pa.array(idx, pa.int64())
-            return pa.table(
-                {
-                    "__skey": pa.array(skeys, pa.string()),
-                    "image_id": b.column("image_id").take(take),
-                    "__ts": b.column("ts").cast(pa.timestamp("us")).take(take),
-                    "v": b.column("v").take(take),
-                    SIDE_COL: pa.array(np.zeros(len(idx), np.int8)),
-                }
-            )
+        ids = b.column("image_id")
+        if salt:
+            k, _ = _salt_k_per_row(ids)
+            if (k > 1).any():
+                # replicate each event row into its k salt buckets: one
+                # np.repeat for rows, one modular ramp for the salt index
+                idx = np.repeat(np.arange(len(k)), k)
+                starts = np.cumsum(k) - k
+                j = np.arange(idx.size) - starts[idx]
+                take = pa.array(idx, pa.int64())
+                rep_ids = ids.combine_chunks().take(take)
+                salted = pc.binary_join_element_wise(
+                    rep_ids.cast(pa.string()), pa.array(j.astype("U"), pa.string()), "#"
+                )
+                skey = pc.if_else(pa.array(k[idx] > 1), salted, rep_ids.cast(pa.string()))
+                return pa.table(
+                    {
+                        "__skey": skey,
+                        "image_id": rep_ids,
+                        "__ts": b.column("ts").cast(pa.timestamp("us")).combine_chunks().take(take),
+                        "v": b.column("v").combine_chunks().take(take),
+                        SIDE_COL: pa.array(np.zeros(idx.size, np.int8)),
+                    }
+                )
         return pa.table(
             {
-                "__skey": pa.array(ids, pa.string()),
-                "image_id": b.column("image_id"),
+                "__skey": ids.cast(pa.string()),
+                "image_id": ids,
                 "__ts": b.column("ts").cast(pa.timestamp("us")),
                 "v": b.column("v"),
                 SIDE_COL: pa.array(np.zeros(b.num_rows, np.int8)),

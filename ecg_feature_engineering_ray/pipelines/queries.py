@@ -46,6 +46,19 @@ def rnd(x: np.ndarray | float, nd: int = 6):
     return np.copysign(np.floor(np.abs(x) * 10.0**nd + 0.5) / 10.0**nd, x)
 
 
+def _guard_oracle_cap(value: int, cap: int, what: str) -> None:
+    """Fail LOUDLY when input exceeds a constant bound baked into an oracle's
+    SQL (DuckDB ``range()`` cannot take lateral column bounds, so some
+    oracles scan a fixed prefix).  Silent divergence would show up as an
+    unexplained hash mismatch on a bigger fixture; raising here names the
+    actual contract instead."""
+    if value > cap:
+        raise ValueError(
+            f"{what} = {value} exceeds the oracle's constant scan bound {cap}: "
+            "enlarge the SQL range() literal alongside this guard"
+        )
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1228,6 +1241,7 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
         ids = batch.column("doc_id").to_pylist()
         out_id, out_band = [], []
         for did, t in zip(ids, texts):
+            _guard_oracle_cap(len(t) - 4, 4096, "near_dup_pairs shingle count")
             mh = T.minhash_signature_shingles(t, num_perm=num_perm)
             for b in range(bands):
                 key = f"{b}:" + "".join(h[:8] for h in mh[b * rows_per_band : (b + 1) * rows_per_band])
@@ -2601,12 +2615,16 @@ def indicator_grid_hourly(sf_dir: str):
     from ..stages.window import indicator_grid
 
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-    return grouped_sorted_apply(
-        ds, "user_id", ["ts", "event_id"],
-        lambda tbl: indicator_grid(tbl, "user_id", "ts", "event_type",
-                                   3600 * 1_000_000, _EVENT_TYPES),
-        NB,
-    )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        out = indicator_grid(tbl, "user_id", "ts", "event_type",
+                             3600 * 1_000_000, _EVENT_TYPES)
+        if out.num_rows:
+            _guard_oracle_cap(int(pc.max(out.column("cell")).as_py()) + 1, 4096,
+                              "indicator_grid_hourly cells per user")
+        return out
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
 
 
 @register(
@@ -2640,6 +2658,15 @@ def doc_fingerprints(sf_dir: str):
         texts = batch.column("text").to_pylist()
         n_fps, mn, mx = [], [], []
         for t in texts:
+            _guard_oracle_cap(len(t) - 15, 4096, "doc_fingerprints window count")
+            if 0 < len(t) < 16:
+                # Python's rolling_fingerprint hashes the whole short text;
+                # the SQL oracle's window scan emits zero rows — refuse the
+                # divergence rather than hash-mismatch on a bigger fixture
+                raise ValueError(
+                    f"doc_fingerprints: text shorter than the 16-char window "
+                    f"(len={len(t)}) is outside the oracle contract"
+                )
             fps = T.rolling_fingerprint(t)
             n_fps.append(len(fps))
             mn.append(fps[0] if fps else None)

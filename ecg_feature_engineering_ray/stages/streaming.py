@@ -48,6 +48,11 @@ class EntityStateActor:
         self.watermark: dict[str, int] = {}         # entity → emit watermark
         self.max_ts: dict[str, int] = {}
         self.late_dropped = 0
+        # exactly-once re-delivery: ingest is keyed by a content fingerprint;
+        # a Ray task retry (or re-execution of the routing stage) replays the
+        # SAME batch and gets the memoized emission instead of corrupting
+        # watermarks/sessions with a double ingest.
+        self.seen: dict[str, dict] = {}
 
     def _emit_ready(self, eid: str, out: list) -> None:
         wm = self.watermark.get(eid, -1)
@@ -70,8 +75,15 @@ class EntityStateActor:
             ring.append((ts, v))
             out.append((eid, ts, v, lag_ms, v_lag, sid))
 
-    def ingest(self, rows: list) -> dict:
-        """rows: list of (image_id, ts_us, v). Returns emitted rows + stats."""
+    def ingest(self, rows: list, batch_key: str | None = None) -> dict:
+        """rows: list of (image_id, ts_us, v). Returns emitted rows + stats.
+
+        ``batch_key`` (a content hash from the router) makes ingest
+        IDEMPOTENT: a replayed key returns the memoized result without
+        touching state — Ray task retries and Dataset re-execution deliver
+        each batch's effect exactly once."""
+        if batch_key is not None and batch_key in self.seen:
+            return self.seen[batch_key]
         out: list = []
         touched = set()
         for eid, ts, v in rows:
@@ -86,7 +98,10 @@ class EntityStateActor:
             touched.add(eid)
         for eid in touched:
             self._emit_ready(eid, out)
-        return {"rows": out, "late_dropped": self.late_dropped}
+        result = {"rows": out, "late_dropped": self.late_dropped}
+        if batch_key is not None:
+            self.seen[batch_key] = result
+        return result
 
     def flush(self) -> list:
         out: list = []
@@ -147,13 +162,20 @@ def streaming_lag_sessionize(
             self.n = len(handles)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import hashlib  # noqa: PLC0415
+
             ids = batch.column(key).to_pylist()
             ts = np.asarray(batch.column(ts_col).cast(pa.int64()).combine_chunks())
             vs = np.asarray(batch.column(value_col).combine_chunks(), dtype=np.float64)
             per_actor: dict[int, list] = {}
             for eid, t, v in zip(ids, ts, vs):
                 per_actor.setdefault(md5_u64(eid) % self.n, []).append((eid, int(t), float(v)))
-            refs = [self.handles[a].ingest.remote(rows) for a, rows in per_actor.items()]
+            refs = [
+                self.handles[a].ingest.remote(
+                    rows, hashlib.md5(repr(rows).encode()).hexdigest()
+                )
+                for a, rows in per_actor.items()
+            ]
             emitted: list = []
             for r in ray.get(refs):
                 emitted.extend(r["rows"])
@@ -166,6 +188,17 @@ def streaming_lag_sessionize(
         zero_copy_batch=True,
         concurrency=router_concurrency or (1, max(2, num_actors)),
     )
+    # MATERIALIZE the routed stage before handing it out: the stage mutates
+    # actor state, so a lazily re-executed Dataset (second consumption, plan
+    # re-run) would re-ingest every batch.  Materializing pins the emitted
+    # blocks (re-consumption reads blocks, not actors), and the per-batch
+    # content-hash memoization above covers mid-execution task retries.  It
+    # also discharges finalize()'s "call only after consuming" contract by
+    # construction — routing has fully executed when this returns.  (A
+    # replayed batch with byte-identical rows is treated as a re-delivery of
+    # the same batch — the exactly-once semantics a duplicate-delivering
+    # source expects.)
+    emitted_ds = emitted_ds.materialize()
 
     def finalize() -> tuple[pa.Table, int]:
         tail: list = []

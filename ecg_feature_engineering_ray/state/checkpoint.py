@@ -74,6 +74,15 @@ def commit_partition(
     os.makedirs(out_dir, exist_ok=True)
     data_path, man_path = partition_paths(out_dir, bucket)
     data_path = write_fragment(table, data_path)
+    # A partition is complete iff its MANIFEST exists, so clearing a stale
+    # destination here is safe: we can only be re-committing a partition
+    # whose manifest was never written (crash between data rename and
+    # manifest write).  Required for the lance branch — os.replace cannot
+    # overwrite a non-empty directory dataset.
+    if os.path.isdir(data_path):
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(data_path)
     os.replace(data_path + ".tmp", data_path)
     wall = time.time() - t_start
     manifest = {
@@ -105,9 +114,18 @@ def read_manifests(out_dir: str) -> list[dict]:
 
 
 def read_output(out_dir: str) -> pa.Table:
-    """Concatenate all committed partitions (test/validation helper)."""
+    """Concatenate all committed partitions (test/validation helper).
+
+    Recognizes both physical formats of the write seam: ``.parquet`` files
+    and ``.lance`` fragment directories (when the lance package is present),
+    so a lance-committed partition is visible to resume validation too."""
     parts = []
     for f in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, f)
         if f.endswith(".parquet"):
-            parts.append(pq.read_table(os.path.join(out_dir, f)))
+            parts.append(pq.read_table(path))
+        elif f.endswith(".lance") and os.path.isdir(path) and HAVE_LANCE:
+            import lance  # type: ignore  # noqa: PLC0415
+
+            parts.append(lance.dataset(path).to_table())
     return pa.concat_tables(parts) if parts else pa.table({})
