@@ -66,7 +66,25 @@ QRS_NAMES = (
     + [f"qrs_autocorr_{k}" for k in range(3)]
 )
 
-_SESSION_BASE = ["len", "dur_ms", "mean_u", "std_u", "mean_v", "amp_v"]
+# The reference's SHORT family computes 25 per-beat series — (2) QRS peak +
+# area, (5) PR/QRS/QT/QTc intervals + ventricular rate, (2) f-wave count +
+# width, (16) seven wave-amplitude differences, two sub-intervals, five wave
+# peaks, two slopes — and rolls each up 6 ways per lead → 150 columns/lead
+# (/root/reference/extract_SHORT.py:21,33-139).  The session≙beat analog
+# below replays that inventory: a gap-burst session plays the beat window,
+# positional zones inside the session play the fixed P/T wave sample
+# windows (P ≙ [0.1n, 0.2n), T ≙ [0.4n, 0.6n) of the window — the
+# reference's round(0.1·fs)…round(0.6·fs) offsets), the session's global
+# max plays the R peak, and the zone minima left/right of it play Q and S.
+_SESSION_BASE = [
+    "qrs_peak", "qrs_area",                                     # (2)
+    "pr_int", "qrs_dur", "qt_int", "qt_c", "vent_rate",         # (5)
+    "nf", "fwidth",                                             # (2)
+    "rq_amp", "rs_amp", "st_amp", "pq_amp", "qs_amp", "rp_amp", "rt_amp",  # (16)
+    "st_int", "rs_int",
+    "t_peak", "p_peak", "q_peak", "r_peak", "s_peak",
+    "rs_slope", "st_slope",
+]
 _ROLLUPS = ["mean", "max", "min", "std", "p25", "p75"]
 SHORT_NAMES = [f"sess_{b}_{r}" for b in _SESSION_BASE for r in _ROLLUPS]
 
@@ -138,24 +156,75 @@ def qrs_vector(ts_us: np.ndarray, v: np.ndarray) -> np.ndarray:
                     dtype=np.float64)
 
 
+def _session_series(ts_us: np.ndarray, sv: np.ndarray) -> list[float]:
+    """The 25 per-session values — session≙beat analog of the reference's
+    per-beat wave measurements (extract_SHORT.py:33-139; see _SESSION_BASE
+    for the zone mapping).  Degenerate zones (sessions too short to hold a
+    distinct Q/S valley) fall back to the nearest in-session sample, keeping
+    every series defined for 1-event sessions."""
+    n = sv.size
+    dur_ms = (ts_us[-1] - ts_us[0]) / 1000.0
+
+    def zone(lo: float, hi: float) -> tuple[int, int]:
+        a = int(np.floor(lo * n))
+        return a, min(max(int(np.floor(hi * n)), a + 1), n)
+
+    p_a, p_b = zone(0.1, 0.2)
+    t_a, t_b = zone(0.4, 0.6)
+    p_idx = int(np.argmax(sv[p_a:p_b])) + p_a
+    p_peak = float(sv[p_idx])
+    t_idx = int(np.argmax(sv[t_a:t_b])) + t_a
+    t_peak = float(sv[t_idx])
+    r_idx = int(np.argmax(sv))
+    r_peak = float(sv[r_idx])
+    if p_b < r_idx:
+        q_idx = int(np.argmin(sv[p_b:r_idx])) + p_b
+    else:
+        q_idx = max(r_idx - 1, 0)
+    q_peak = float(sv[q_idx])
+    if r_idx < t_a:
+        s_idx = int(np.argmin(sv[r_idx:t_a])) + r_idx
+    else:
+        s_idx = min(r_idx, n - 1)
+    s_peak = float(sv[s_idx])
+
+    qrs_area = float(np.abs(sv[q_idx:r_idx]).sum() + np.abs(sv[r_idx:s_idx]).sum())
+    pr_int = float(r_idx - p_idx)
+    qrs_dur = float(s_idx - q_idx)
+    qt_int = float(t_idx - q_idx)
+    qt_c = qt_int / n
+    vent_rate = 60000.0 * max(n - 1, 0) / dur_ms if dur_ms > 0 else 0.0
+    seg = sv[q_idx:t_idx]
+    if seg.size:
+        thres = float(seg.mean()) + (t_peak - float(seg.mean())) / 50.0
+        nf, fwidth = S.thres_crossing(seg, thres)
+    else:
+        nf, fwidth = 0, 0.0
+    st_int = float(t_idx - s_idx)
+    rs_int = float(s_idx - r_idx)
+    rs_amp = r_peak - s_peak
+    st_amp = t_peak - s_peak
+    return [
+        r_peak, qrs_area,
+        pr_int, qrs_dur, qt_int, qt_c, vent_rate,
+        float(nf), float(fwidth),
+        r_peak - q_peak, rs_amp, st_amp, p_peak - q_peak, q_peak - s_peak,
+        r_peak - p_peak, r_peak - t_peak,
+        st_int, rs_int,
+        t_peak, p_peak, q_peak, r_peak, s_peak,
+        rs_amp / rs_int if rs_int != 0 else 0.0,
+        st_amp / st_int if st_int != 0 else 0.0,
+    ]
+
+
 def short_vector(ts_us: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Per-session features rolled up across sessions (A13 pattern)."""
+    """25 per-session series rolled up 6 ways across sessions (A13 pattern —
+    the full reference SHORT width, 150 cols per channel)."""
     brk = np.flatnonzero(np.diff(ts_us) > SESSION_GAP_US) + 1
     starts = np.concatenate(([0], brk))
     ends = np.concatenate((brk, [ts_us.size]))
-    feats = []
-    for s, e in zip(starts, ends):
-        su = np.diff(ts_us[s:e]).astype(np.float64) / 1000.0
-        sv = v[s:e]
-        feats.append([
-            float(e - s),
-            (ts_us[e - 1] - ts_us[s]) / 1000.0,
-            su.mean() if su.size else 0.0,
-            su.std() if su.size else 0.0,
-            sv.mean(),
-            sv.max() - sv.min(),
-        ])
-    m = np.asarray(feats)  # (n_sessions, 6)
+    feats = [_session_series(ts_us[s:e], v[s:e]) for s, e in zip(starts, ends)]
+    m = np.asarray(feats)  # (n_sessions, 25)
     out = []
     for j in range(m.shape[1]):
         col = m[:, j]

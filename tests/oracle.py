@@ -452,23 +452,86 @@ def oracle_qrs_names():
     return QRS_NAMES
 
 
+def _o_session_25(ts_seg, sv):
+    """25 per-session values, scalar re-derivation (oracle twin of
+    feature_families._session_series — same zone definitions, independent
+    code path)."""
+    import math
+
+    n = len(sv)
+    dur_ms = (ts_seg[-1] - ts_seg[0]) / 1000.0
+
+    def zmax(a, b):
+        b = min(max(b, a + 1), n)
+        best_i, best = a, sv[a]
+        for i in range(a, b):
+            if sv[i] > best:
+                best_i, best = i, sv[i]
+        return best_i, float(best)
+
+    def zmin(a, b):
+        best_i, best = a, sv[a]
+        for i in range(a, b):
+            if sv[i] < best:
+                best_i, best = i, sv[i]
+        return best_i, float(best)
+
+    p_a = math.floor(0.1 * n)
+    p_idx, p_pk = zmax(p_a, math.floor(0.2 * n))
+    t_a = math.floor(0.4 * n)
+    t_idx, t_pk = zmax(t_a, math.floor(0.6 * n))
+    r_idx, r_pk = zmax(0, n)
+    p_b = min(max(math.floor(0.2 * n), p_a + 1), n)
+    if p_b < r_idx:
+        q_idx, q_pk = zmin(p_b, r_idx)
+    else:
+        q_idx = max(r_idx - 1, 0)
+        q_pk = float(sv[q_idx])
+    t_a_c = min(max(math.floor(0.6 * n), t_a + 1), n)  # noqa: F841  (zone end unused)
+    if r_idx < t_a:
+        s_idx, s_pk = zmin(r_idx, t_a)
+    else:
+        s_idx = min(r_idx, n - 1)
+        s_pk = float(sv[s_idx])
+
+    area = sum(abs(float(x)) for x in sv[q_idx:r_idx]) + sum(abs(float(x)) for x in sv[r_idx:s_idx])
+    qt = float(t_idx - q_idx)
+    vent = 60000.0 * max(n - 1, 0) / dur_ms if dur_ms > 0 else 0.0
+    seg = sv[q_idx:t_idx]
+    if len(seg):
+        mu = sum(float(x) for x in seg) / len(seg)
+        thr = mu + (t_pk - mu) / 50.0
+        nf, fw = 0, 0.0
+        if len(seg) >= 2:
+            sgn = [1 if float(x) > thr else (-1 if float(x) < thr else 0) for x in seg]
+            crossings = [i for i in range(len(seg) - 1) if sgn[i] * sgn[i + 1] < 0]
+            nf = len(crossings)
+            if nf >= 2:
+                fw = sum(crossings[i + 1] - crossings[i] for i in range(nf - 1)) / (nf - 1)
+    else:
+        nf, fw = 0, 0.0
+    st_i, rs_i = float(t_idx - s_idx), float(s_idx - r_idx)
+    rs_a, st_a = r_pk - s_pk, t_pk - s_pk
+    return [r_pk, area,
+            float(r_idx - p_idx), float(s_idx - q_idx), qt, qt / n, vent,
+            float(nf), float(fw),
+            r_pk - q_pk, rs_a, st_a, p_pk - q_pk, q_pk - s_pk, r_pk - p_pk, r_pk - t_pk,
+            st_i, rs_i,
+            t_pk, p_pk, q_pk, r_pk, s_pk,
+            rs_a / rs_i if rs_i != 0 else 0.0,
+            st_a / st_i if st_i != 0 else 0.0]
+
+
 def oracle_short_vector(ts_us, v, gap_us=30_000_000):
     starts = [0]
     for i in range(1, len(ts_us)):
         if ts_us[i] - ts_us[i - 1] > gap_us:
             starts.append(i)
     ends = starts[1:] + [len(ts_us)]
-    feats = []
-    for s, e in zip(starts, ends):
-        su = np.diff(ts_us[s:e]).astype(np.float64) / 1000.0
-        sv = v[s:e]
-        feats.append([float(e - s), (ts_us[e - 1] - ts_us[s]) / 1000.0,
-                      float(su.mean()) if su.size else 0.0,
-                      float(su.std()) if su.size else 0.0,
-                      float(sv.mean()), float(sv.max() - sv.min())])
+    feats = [_o_session_25(ts_us[s:e], v[s:e]) for s, e in zip(starts, ends)]
     m = np.asarray(feats)
     out = []
-    for j in range(6):
+    for j in range(m.shape[1]):
         col = m[:, j]
         out += [float(col.mean()), float(col.max()), float(col.min()), float(col.std()),
                 float(np.percentile(col, 25)), float(np.percentile(col, 75))]

@@ -102,3 +102,15 @@ def test_long_qrs_short_match_independent_oracle(fixture_events):
             a, b = rnd_sig(got[c].to_numpy()), rnd_sig(want[c].to_numpy())
             ok = (a == b) | (np.isnan(a) & np.isnan(b))
             assert ok.all(), (family, c, a[~ok][:3], b[~ok][:3])
+
+
+def test_short_family_full_reference_width():
+    """SHORT carries the reference's full per-beat series inventory: 25
+    series × 6 rollups = 150 columns per channel ((2+5+16+2)*6,
+    /root/reference/extract_SHORT.py:21)."""
+    from ecg_feature_engineering_ray.pipelines.feature_families import (
+        SHORT_NAMES, _SESSION_BASE,
+    )
+
+    assert len(_SESSION_BASE) == 25
+    assert len(SHORT_NAMES) == 150
