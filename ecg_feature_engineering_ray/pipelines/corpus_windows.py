@@ -44,8 +44,16 @@ def corpus_windows(
     overlap: int = OVERLAP,
     oversample: dict[str, int] | None = None,
     seed: int = 5,
+    emit_tiles: bool = True,
 ) -> Dataset:
-    """One row per (entity × window × label[× oversample copy])."""
+    """One row per (entity × window × label[× oversample copy]).
+
+    With ``emit_tiles`` the full log-power spectrogram tile rides along as a
+    typed ``fixed_size_list<float64>`` column (row-major n_bins × n_frames
+    flatten) — the reference persists the whole N×33×300 tensor
+    (preprocess-300hz.py:254-269,405-470), not just its summary; the tile
+    shape is constant because every window is zero-padded to ``window``
+    first.  ``spec_checksum`` (6-dp tile sum) is the scalar oracle hook."""
     weights = oversample or {}
     decoded = decode_stage(read_events(events_dir), concurrency=(1, 4))
     decoded = decoded.select_columns(["image_id", "ts", "v", "caption"])
@@ -56,7 +64,8 @@ def corpus_windows(
         caps = tbl.column("caption")
         v = np.asarray(tbl.column("v").combine_chunks(), dtype=np.float64)
         out = {"image_id": [], "window_id": [], "label": [], "split": [],
-               "n_rows": [], "v_mean": [], "spec_power": []}
+               "n_rows": [], "v_mean": [], "spec_power": [], "spec_checksum": []}
+        tiles: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             eid = ids[s].as_py()
             labels = caps[s].as_py().split(",")
@@ -65,6 +74,8 @@ def corpus_windows(
             for wid, ws, we in fixed_windows(series.size, window, overlap, policy="zero"):
                 w = zero_pad(series[ws:we], window)
                 spec = spectrogram_tiles(w, nperseg=8, noverlap=4)
+                flat = np.ascontiguousarray(spec).reshape(-1)
+                csum = float(np.round(flat.sum(), 6))
                 for lab in labels:  # label duplicated per window (:367-403)
                     reps = weights.get(lab, 1)
                     # deterministic per-(entity,window,label) oversampling
@@ -79,17 +90,32 @@ def corpus_windows(
                         out["n_rows"].append(we - ws)
                         out["v_mean"].append(float(w.mean()))
                         out["spec_power"].append(float(spec.mean()))
-        return pa.table(
-            {
-                "image_id": pa.array(out["image_id"], pa.string()),
-                "window_id": pa.array(out["window_id"], pa.int64()),
-                "label": pa.array(out["label"], pa.string()),
-                "split": pa.array(out["split"], pa.string()),
-                "n_rows": pa.array(out["n_rows"], pa.int64()),
-                "v_mean": pa.array(np.round(out["v_mean"], 6), pa.float64()),
-                "spec_power": pa.array(np.round(out["spec_power"], 6), pa.float64()),
-            }
-        )
+                        out["spec_checksum"].append(csum)
+                        if emit_tiles:
+                            tiles.append(flat)
+        cols = {
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "window_id": pa.array(out["window_id"], pa.int64()),
+            "label": pa.array(out["label"], pa.string()),
+            "split": pa.array(out["split"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "v_mean": pa.array(np.round(out["v_mean"], 6), pa.float64()),
+            "spec_power": pa.array(np.round(out["spec_power"], 6), pa.float64()),
+            "spec_checksum": pa.array(out["spec_checksum"], pa.float64()),
+        }
+        if emit_tiles:
+            tile_len = tiles[0].size if tiles else _tile_len(window)
+            flat_all = np.concatenate(tiles) if tiles else np.empty(0)
+            cols["spec_tile"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(flat_all, pa.float64()), tile_len
+            )
+        return pa.table(cols)
 
     return grouped_sorted_apply(decoded, "image_id", ["ts"], per_bucket, num_buckets,
                                 pre_shuffle_blocks=max(4, num_buckets // 2))
+
+
+def _tile_len(window: int, nperseg: int = 8, noverlap: int = 4) -> int:
+    """Constant flattened tile length for zero-padded windows."""
+    n_frames = 1 + (window - nperseg) // (nperseg - noverlap)
+    return (nperseg // 2 + 1) * n_frames

@@ -2020,8 +2020,11 @@ def corpus_windows_q(sf_dir: str):
         df = oracle_corpus_windows(events_dir, oversample={"AF": 2, "Normal": 1, "STE": 3})
         _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + ".tmp")
         os.replace(path + ".tmp", path)
+    # the pipeline's schema carries the full spec_tile fixed_size_list
+    # column (gated value-level in pytest); the driver compare hashes its
+    # scalar spec_checksum alongside the other columns
     return corpus_windows(events_dir, num_buckets=NB,
-                          oversample={"AF": 2, "Normal": 1, "STE": 3})
+                          oversample={"AF": 2, "Normal": 1, "STE": 3}).drop_columns(["spec_tile"])
 
 
 @register(

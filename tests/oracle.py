@@ -712,7 +712,9 @@ def oracle_corpus_windows(events_dir: str, window=32, overlap=16,
             n_frames = 1 + (x.size - nperseg) // hop
             frames = np.stack([x[i * hop : i * hop + nperseg] for i in range(n_frames)])
             p = (np.abs(np.fft.rfft(frames, axis=1)) ** 2) / (fs * nperseg)
-            spec_mean = float(np.log10(p.T + 1e-12).mean())
+            tile = np.log10(p.T + 1e-12)
+            spec_mean = float(tile.mean())
+            spec_checksum = float(np.round(np.ascontiguousarray(tile).reshape(-1).sum(), 6))
             for lab in labels:
                 reps = weights.get(lab, 1)
                 h = int(hashlib.md5(f"{seed}|{image_id}|{wid}|{lab}".encode()).hexdigest()[:8], 16)
@@ -721,7 +723,8 @@ def oracle_corpus_windows(events_dir: str, window=32, overlap=16,
                     rows.append({"image_id": image_id, "window_id": wid, "label": lab,
                                  "split": split, "n_rows": we - ws,
                                  "v_mean": round(float(w.mean()), 6),
-                                 "spec_power": round(spec_mean, 6)})
+                                 "spec_power": round(spec_mean, 6),
+                                 "spec_checksum": spec_checksum})
     return pd.DataFrame(rows)
 
 

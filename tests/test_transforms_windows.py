@@ -62,3 +62,38 @@ def test_corpus_windows_pipeline(fixture_events):
     b = df2.sort_values(["image_id", "window_id", "label"]).reset_index(drop=True)
     assert len(a) == len(b)
     assert np.allclose(a.v_mean.values, b.v_mean.values)
+
+
+def test_corpus_windows_spec_tile_column(fixture_events):
+    """The spectrogram tile is a first-class typed column: constant-length
+    fixed_size_list<float64> whose values match the direct spectrogram
+    formula (≙ the persisted tensor of preprocess-300hz.py:254-269)."""
+    import pyarrow as pa
+    from ecg_feature_engineering_ray.pipelines.corpus_windows import _tile_len
+
+    events_dir, _ = fixture_events
+    ds = corpus_windows(events_dir, num_buckets=4)
+    field = {f.name: f.type for f in ds.schema().base_schema}["spec_tile"]
+    assert pa.types.is_fixed_size_list(field)
+    assert field.list_size == _tile_len(32)
+    df = ds.to_pandas()
+    tiles = np.vstack(df["spec_tile"].to_numpy())
+    assert tiles.shape == (len(df), _tile_len(32))
+    # checksum column is exactly the rounded tile sum
+    assert np.allclose(np.round(tiles.sum(axis=1), 6), df["spec_checksum"].to_numpy())
+    # one window re-derived from first principles
+    row = df.iloc[0]
+    g = None  # value series for this entity, ordered by ts
+    import pandas as pd
+    from tests.oracle import decode_events
+    ev = decode_events(events_dir)
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    g = ev[ev.image_id == row.image_id].sort_values("ts_us").v.values.astype(np.float64)
+    ws = int(row.window_id) * 16
+    w = np.zeros(32)
+    seg = g[ws : ws + 32]
+    w[: seg.size] = seg
+    frames = np.stack([w[i * 4 : i * 4 + 8] for i in range(1 + (32 - 8) // 4)])
+    p = (np.abs(np.fft.rfft(frames, axis=1)) ** 2) / (300.0 * 8)
+    want = np.log10(p.T + 1e-12).reshape(-1)
+    assert np.allclose(np.asarray(row.spec_tile, dtype=np.float64), want)
