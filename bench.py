@@ -119,8 +119,23 @@ def run_suite() -> dict:
     events_dir, queries_path = fixture_dirs(prof)
 
     # skew/balance stats: periodic job, precomputed outside the timed window
+    # and CACHED on disk — the scaling rounds re-enter this process 6 times
+    # over the same fixture, and the count passes are identical each time
     num_buckets = max(8 * NUM_CPUS, 64)
-    plan = compute_bucket_plan(events_dir, queries_path, num_buckets, prof["sampen_max_n"])
+    plan_path = os.path.join(
+        os.path.dirname(events_dir),
+        f"plan_b{num_buckets}_n{prof['sampen_max_n']}_q{prof['queries']}.json",
+    )
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            plan = json.load(f)
+        plan["plan"] = {k: int(v) for k, v in plan["plan"].items()} if plan["plan"] is not None else None
+        plan["salt"] = {k: int(v) for k, v in plan["salt"].items()}
+    else:
+        plan = compute_bucket_plan(events_dir, queries_path, num_buckets, prof["sampen_max_n"])
+        with open(plan_path + ".tmp", "w") as f:
+            json.dump(plan, f)
+        os.replace(plan_path + ".tmp", plan_path)
 
     # warmup (default profile only): one untimed pipeline run so Ray worker
     # processes are warm — actor creation in a fresh session pays ~2-4 s of
@@ -186,7 +201,9 @@ def run_scaling() -> dict:
     to measure the full-box pair; BASELINE.md records both.
     """
     lo_cpus, hi_cpus = (int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = max(int(os.environ.get("GRAFT_SCALING_REPEATS", "3")), 1)
+    import statistics
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
@@ -205,25 +222,44 @@ def run_scaling() -> dict:
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    # single-tenant VM throughput drifts ±10% between runs (host neighbors);
-    # interleave the arms and take each arm's best (min wall) so one slow
-    # window doesn't land entirely on one arm — this estimates the ENGINE's
-    # scaling, with every individual run still recorded below
+    # This VM's throughput drifts ±10-30% between identical runs (external
+    # host load).  Treat each round as a PAIRED measurement: both arms run
+    # back-to-back inside the same host-load window, so drift hits them
+    # together and their RATIO stays faithful to the engine; the headline is
+    # the median per-round efficiency over ``repeats`` rounds (arm order
+    # alternates to cancel any residual within-round trend).  Arm-wise
+    # best-of across rounds — the previous estimator — mixes windows: a fast
+    # window landing on the LO arm only deflates the ratio (r2 recorded
+    # rounds of 0.95 and 0.74 and reported 0.75).  Every raw run is still
+    # recorded below.
+    rounds: list[dict] = []
     runs: dict[int, list] = {lo_cpus: [], hi_cpus: []}
-    for _ in range(max(repeats, 1)):
-        for cpus in (hi_cpus, lo_cpus):
-            runs[cpus].append(one(cpus))
-    best = {c: max(rs, key=lambda r: r["flagship_rows_per_s"]) for c, rs in runs.items()}
-    lo = best[lo_cpus]["flagship_rows_per_s"]
-    hi = best[hi_cpus]["flagship_rows_per_s"]
-    eff = hi / (lo * (hi_cpus / lo_cpus))
+    for i in range(repeats):
+        order = (hi_cpus, lo_cpus) if i % 2 == 0 else (lo_cpus, hi_cpus)
+        got = {}
+        for cpus in order:
+            got[cpus] = one(cpus)
+            runs[cpus].append(got[cpus])
+        lo = got[lo_cpus]["flagship_rows_per_s"]
+        hi = got[hi_cpus]["flagship_rows_per_s"]
+        rounds.append({
+            "eff": round(hi / (lo * (hi_cpus / lo_cpus)), 3),
+            "rows_per_s": {str(lo_cpus): lo, str(hi_cpus): hi},
+            "order": list(order),
+        })
+    eff = statistics.median(r["eff"] for r in rounds)
+    mid = sorted(rounds, key=lambda r: r["eff"])[len(rounds) // 2]
     return {
-        "metric": f"scaling efficiency (flagship PIT rows/s, {lo_cpus}→{hi_cpus} CPUs, fresh processes, same input, best of {max(repeats, 1)} interleaved repeats per arm)",
+        "metric": (
+            f"scaling efficiency (flagship PIT rows/s, {lo_cpus}→{hi_cpus} CPUs, fresh "
+            f"processes, same input; median of {repeats} paired same-window rounds)"
+        ),
         "value": round(eff, 3),
         "unit": "efficiency",
-        "rows_per_s": {str(lo_cpus): lo, str(hi_cpus): hi},
-        "flagship_s": {str(c): best[c]["queries"]["flagship_pit"] for c in (lo_cpus, hi_cpus)},
+        "rows_per_s": mid["rows_per_s"],
+        "per_round_efficiency": [r["eff"] for r in rounds],
         "all_runs_rows_per_s": {str(c): [r["flagship_rows_per_s"] for r in rs] for c, rs in runs.items()},
+        "all_runs_flagship_s": {str(c): [r["queries"]["flagship_pit"] for r in rs] for c, rs in runs.items()},
         "profile": "scaling",
         "sf": SF_DIR,
     }
