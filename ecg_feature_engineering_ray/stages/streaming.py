@@ -164,18 +164,24 @@ def streaming_lag_sessionize(
         def __call__(self, batch: pa.Table) -> pa.Table:
             import hashlib  # noqa: PLC0415
 
-            ids = batch.column(key).to_pylist()
+            id_col = batch.column(key).combine_chunks()
             ts = np.asarray(batch.column(ts_col).cast(pa.int64()).combine_chunks())
             vs = np.asarray(batch.column(value_col).combine_chunks(), dtype=np.float64)
-            per_actor: dict[int, list] = {}
-            for eid, t, v in zip(ids, ts, vs):
-                per_actor.setdefault(md5_u64(eid) % self.n, []).append((eid, int(t), float(v)))
-            refs = [
-                self.handles[a].ingest.remote(
+            # hash-pin via the batch's UNIQUE ids only (dictionary-encode →
+            # LUT), then split with vectorized masks — no per-row dict/append
+            d = id_col.dictionary_encode()
+            uniq = d.dictionary.to_pylist()
+            lut = np.fromiter((md5_u64(u) % self.n for u in uniq),
+                              dtype=np.int64, count=len(uniq))
+            row_actor = lut[np.asarray(d.indices)]
+            ids = id_col.to_pylist()
+            refs = []
+            for a in np.unique(row_actor):
+                sel = np.flatnonzero(row_actor == a)
+                rows = [(ids[i], int(ts[i]), float(vs[i])) for i in sel]
+                refs.append(self.handles[int(a)].ingest.remote(
                     rows, hashlib.md5(repr(rows).encode()).hexdigest()
-                )
-                for a, rows in per_actor.items()
-            ]
+                ))
             emitted: list = []
             for r in ray.get(refs):
                 emitted.extend(r["rows"])
