@@ -38,7 +38,8 @@ SESSION_GAP_US = 30_000_000
 
 @ray.remote
 class EntityStateActor:
-    def __init__(self, allowed_lateness_us: int, ring_size: int = 8, gap_us: int = SESSION_GAP_US):
+    def __init__(self, allowed_lateness_us: int, ring_size: int = 8, gap_us: int = SESSION_GAP_US,
+                 seen_cap: int = 4096):
         self.lateness = allowed_lateness_us
         self.gap = gap_us
         self.ring_size = ring_size
@@ -51,8 +52,11 @@ class EntityStateActor:
         # exactly-once re-delivery: ingest is keyed by a content fingerprint;
         # a Ray task retry (or re-execution of the routing stage) replays the
         # SAME batch and gets the memoized emission instead of corrupting
-        # watermarks/sessions with a double ingest.
+        # watermarks/sessions with a double ingest.  BOUNDED (FIFO eviction):
+        # retries replay recent batches, so only a trailing window of keys is
+        # ever consulted — an unbounded dict would grow with stream length.
         self.seen: dict[str, dict] = {}
+        self.seen_cap = seen_cap
 
     def _emit_ready(self, eid: str, out: list) -> None:
         wm = self.watermark.get(eid, -1)
@@ -101,6 +105,8 @@ class EntityStateActor:
         result = {"rows": out, "late_dropped": self.late_dropped}
         if batch_key is not None:
             self.seen[batch_key] = result
+            while len(self.seen) > self.seen_cap:  # FIFO: dicts keep insertion order
+                self.seen.pop(next(iter(self.seen)))
         return result
 
     def flush(self) -> list:

@@ -56,6 +56,28 @@ def test_streaming_matches_batch_with_lateness(fixture_events):
     assert (g.session_id.values == want.session_id.values).all()
 
 
+def test_ingest_is_idempotent_and_memo_bounded(ray_session):
+    """A replayed (batch, key) — a Ray task retry — must return the memoized
+    emission without touching state, and the memo must stay bounded."""
+    from ecg_feature_engineering_ray.stages.streaming import EntityStateActor
+
+    a = EntityStateActor.remote(allowed_lateness_us=0, seen_cap=2)
+    rows = [("e1", 1_000_000, 1.0), ("e1", 2_000_000, 2.0)]
+    first = ray.get(a.ingest.remote(rows, "k1"))
+    replay = ray.get(a.ingest.remote(rows, "k1"))
+    assert repr(replay) == repr(first)  # memoized — not re-ingested (repr: NaN-safe)
+    # re-ingesting WITHOUT the memo would count both rows late (ts <= wm);
+    # the late counter must be untouched by the replay
+    assert replay["late_dropped"] == first["late_dropped"] == 0
+
+    # FIFO eviction at seen_cap=2: after two more keys, k1 is forgotten and
+    # its (now stale) rows fall to the watermark instead of replaying
+    ray.get(a.ingest.remote([("e1", 3_000_000, 3.0)], "k2"))
+    ray.get(a.ingest.remote([("e1", 4_000_000, 4.0)], "k3"))
+    evicted = ray.get(a.ingest.remote(rows, "k1"))
+    assert evicted["late_dropped"] == 2  # state was consulted, not the memo
+
+
 def test_streaming_zero_lateness_drops_late_rows(fixture_events):
     events_dir, _ = fixture_events
     ds = _decoded_arrival_order(events_dir)
