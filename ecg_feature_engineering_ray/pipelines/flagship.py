@@ -44,40 +44,69 @@ def compute_bucket_plan(
     num_buckets: int,
     sampen_max_n: int = 400,
     max_salt: int = 8,
+    granularity: int = 4,
 ) -> dict:
     """Cost-balanced bucket plan + hot-key salting from key-column count passes.
 
     Merge-stage cost model: each query pays O(min(prefix, sampen_cap)²) for
-    the SampEn kernel over its entity's event prefix.  Entities whose total
-    cost exceeds one bucket's fair share are SALTED: their queries split into
-    k salt groups (``image_id#salt`` composite keys) and their events are
-    replicated into every salt bucket, so even one enormous entity spreads
-    over up to ``max_salt`` workers — the explicit hot-key split the north
-    rule requires; LPT packing then balances the salted units.  In production
-    this is a periodic stats job whose output is reused across runs — callers
-    may compute it once and pass ``bucket_plan`` to :func:`pit_features`.
+    the SampEn kernel over its entity's event prefix.  Query times are ~
+    uniform over an entity's history, so the per-query expectation is
+    E[min(prefix, cap)²] = n²/3 below the cap and cap²·(1 − 2·(cap/n)/3)
+    above it — NOT min(n, cap)²: the naive form under-weights long capped
+    entities ~3× relative to short ones, and LPT packs their buckets into
+    stragglers.
+
+    Entities whose total cost exceeds a ``1/granularity`` share of a bucket
+    are SALTED: their queries split into k salt groups (``image_id#salt``
+    composite keys) and their events are replicated into every salt group, so
+    no single work atom exceeds ~(bucket fair share)/granularity and LPT can
+    pack the tail tightly — the makespan of the merge stage stays near the
+    mean instead of max-entity-bound.  (Salting to one-bucket granularity
+    keeps single-entity atoms as large as a whole bucket's share; with only
+    a few buckets per CPU the slowest bucket then idles the rest of the
+    pool — measured 15-18 % wall overhead at 8 buckets/CPU.)  Replicated
+    event rows are key+ts+value only (payload long gone), and the re-run
+    per-group prefix scans are O(n) against the O(cap²) kernel they spread.
+    In production this is a periodic stats job whose output is reused across
+    runs — callers may compute it once and pass ``bucket_plan`` to
+    :func:`pit_features`.
 
     Returns ``{"plan": {skey → bucket}, "salt": {image_id → k}}``.
     """
     ev_counts = entity_counts(read_events(events_dir, columns=["image_id"]), "image_id")
     q_counts = entity_counts(ray.data.read_parquet(queries_path, columns=["image_id"]), "image_id")
-    cost_map = {
-        k: max(q_counts.get(k, 0), 1) * float(min(n, sampen_max_n)) ** 2 + n
-        for k, n in ev_counts.items()
-    }
+    cap = float(sampen_max_n)
+
+    def entity_cost(q: int, n: int) -> float:
+        if n <= 0:
+            return 1.0
+        e2 = n * n / 3.0 if n < cap else cap * cap * (1.0 - 2.0 * (cap / n) / 3.0)
+        return max(q, 1) * e2 + n
+
+    cost_map = {k: entity_cost(q_counts.get(k, 0), n) for k, n in ev_counts.items()}
     total = sum(cost_map.values())
-    target = total / num_buckets if num_buckets else float("inf")
+    atom_target = total / (num_buckets * max(granularity, 1)) if num_buckets else float("inf")
     salt: dict = {}
     salted_cost: dict = {}
     for k, c in cost_map.items():
-        s = min(max_salt, max(1, int(np.ceil(c / target)))) if target > 0 else 1
+        s = min(max_salt, max(1, int(np.ceil(c / atom_target)))) if atom_target > 0 else 1
         if s > 1:
             salt[k] = s
             for j in range(s):
                 salted_cost[f"{k}#{j}"] = c / s
         else:
             salted_cost[k] = c
-    return {"plan": plan_buckets(salted_cost, num_buckets, cost=lambda c: c), "salt": salt}
+    # salting bounds every atom at ~target/granularity, which sits below
+    # plan_buckets' default heavy threshold (0.25 × bucket share) — scale the
+    # threshold down with the atom size or NOTHING gets LPT-placed and the
+    # whole load rides hash luck
+    return {
+        "plan": plan_buckets(
+            salted_cost, num_buckets,
+            heavy_frac=0.25 / max(granularity, 1), cost=lambda c: c,
+        ),
+        "salt": salt,
+    }
 
 
 def pit_features(
@@ -92,6 +121,7 @@ def pit_features(
     bucket_plan: dict | None = None,
     decode_batch_size: int = 256,
     pre_shuffle_blocks: int | None = -1,
+    instrument=None,
 ) -> Dataset:
     """Streaming Dataset of (image_id, as_of_ts, caption?, features…).
 
@@ -226,8 +256,13 @@ def pit_features(
             ["as_of_ts" if c == "__ts" else c for c in merged.column_names]
         ).drop_columns(["__cnt"])
 
+    # ``instrument`` (observability seam): wraps the per-bucket merge fn —
+    # probes/ops use it to record per-bucket wall time without forking the
+    # pipeline; must be picklable and must not change result semantics when
+    # left None.
+    fn = instrument(per_bucket) if instrument is not None else per_bucket
     return grouped_sorted_apply(
-        unioned, "__skey", ["__ts", SIDE_COL], per_bucket, num_buckets,
+        unioned, "__skey", ["__ts", SIDE_COL], fn, num_buckets,
         explicit_map=plan,
         pre_shuffle_blocks=(None if pre_shuffle_blocks == -1 else pre_shuffle_blocks),
     )
