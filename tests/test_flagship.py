@@ -187,6 +187,30 @@ def test_backfill_late_fragment(fixture_events, fixture_queries, tmp_path):
         assert ((va == vb) | (np.isnan(va) & np.isnan(vb))).all(), name
 
 
+def test_bucket_plan_atoms_bounded_and_placed(fixture_events, fixture_queries):
+    """Plan invariants for the sub-bucket salting: (a) every salted entity's
+    k is ceil(cost/atom_target) capped at max_salt — no atom exceeds
+    ~(bucket share)/granularity, (b) the LPT heavy threshold tracks the atom
+    size so the placement map is NON-empty (a granularity that outruns the
+    threshold silently degrades to hash-luck placement — the bug this
+    guards), (c) k never exceeds max_salt."""
+    from ecg_feature_engineering_ray.pipelines.flagship import compute_bucket_plan
+
+    events_dir, manifest = fixture_events
+    for granularity in (1, 4):
+        cfg = compute_bucket_plan(
+            events_dir, fixture_queries, num_buckets=16,
+            max_salt=6, granularity=granularity,
+        )
+        assert all(1 < k <= 6 for k in cfg["salt"].values())
+        assert cfg["plan"], "LPT placement must not be empty when costs vary"
+    # finer granularity ⇒ at least as many entities split, never fewer
+    g1 = compute_bucket_plan(events_dir, fixture_queries, num_buckets=16, granularity=1)
+    g4 = compute_bucket_plan(events_dir, fixture_queries, num_buckets=16, granularity=4)
+    assert set(g1["salt"]) <= set(g4["salt"])
+    assert all(g4["salt"][k] >= v for k, v in g1["salt"].items())
+
+
 def test_salting_splits_hot_entity_and_stays_correct(fixture_events, fixture_queries, oracle_result):
     """Forcing aggressive salting (tiny cost target via huge bucket count)
     must split the hot entity's queries across salt groups and still match
