@@ -281,7 +281,11 @@ def run_scaling() -> dict:
             "order": list(order),
         })
     eff = statistics.median(r["eff"] for r in rounds)
-    mid = sorted(rounds, key=lambda r: r["eff"])[len(rounds) // 2]
+    # representative round = the one CLOSEST to the median (for even repeat
+    # counts the median is the mean of the two middle rounds and belongs to
+    # neither; picking the upper-middle would make rows_per_s contradict
+    # ``value`` for anyone recomputing hi/(lo·4) from the JSON)
+    mid = min(rounds, key=lambda r: abs(r["eff"] - eff))
     return {
         "metric": (
             f"scaling efficiency (flagship PIT rows/s, {lo_cpus}→{hi_cpus} CPUs, fresh "

@@ -31,6 +31,8 @@ from ..stages.window import fixed_windows
 WINDOW = 32           # rows per window  (≙ WINDOW_SIZE=18000 samples)
 OVERLAP = 16          # 50% overlap      (≙ OVERLAP_RATIO=0.5)
 TRAIN_FRACTION_BYTE = 204  # md5 first byte < 204/256 ≈ 80% train
+SPEC_NPERSEG = 8      # spectrogram frame length (≙ nperseg=64 @300 Hz)
+SPEC_NOVERLAP = 4     # frame overlap — shared by the tile call AND _tile_len
 
 
 def _split_of(key: str) -> str:
@@ -73,7 +75,7 @@ def corpus_windows(
             series = v[s:e]
             for wid, ws, we in fixed_windows(series.size, window, overlap, policy="zero"):
                 w = zero_pad(series[ws:we], window)
-                spec = spectrogram_tiles(w, nperseg=8, noverlap=4)
+                spec = spectrogram_tiles(w, nperseg=SPEC_NPERSEG, noverlap=SPEC_NOVERLAP)
                 flat = np.ascontiguousarray(spec).reshape(-1)
                 csum = float(np.round(flat.sum(), 6))
                 for lab in labels:  # label duplicated per window (:367-403)
@@ -104,7 +106,9 @@ def corpus_windows(
             "spec_checksum": pa.array(out["spec_checksum"], pa.float64()),
         }
         if emit_tiles:
-            tile_len = tiles[0].size if tiles else _tile_len(window)
+            tile_len = _tile_len(window)
+            assert not tiles or tiles[0].size == tile_len, \
+                (tiles[0].size, tile_len)  # empty + populated buckets must agree
             flat_all = np.concatenate(tiles) if tiles else np.empty(0)
             cols["spec_tile"] = pa.FixedSizeListArray.from_arrays(
                 pa.array(flat_all, pa.float64()), tile_len
@@ -115,7 +119,14 @@ def corpus_windows(
                                 pre_shuffle_blocks=max(4, num_buckets // 2))
 
 
-def _tile_len(window: int, nperseg: int = 8, noverlap: int = 4) -> int:
-    """Constant flattened tile length for zero-padded windows."""
+def _tile_len(window: int, nperseg: int = None, noverlap: int = None) -> int:
+    """Constant flattened tile length for zero-padded windows.
+
+    Shares SPEC_NPERSEG/SPEC_NOVERLAP with the spectrogram_tiles call so the
+    empty-bucket schema can never diverge from populated buckets."""
+    nperseg = SPEC_NPERSEG if nperseg is None else nperseg
+    noverlap = SPEC_NOVERLAP if noverlap is None else noverlap
+    if window < nperseg:
+        raise ValueError(f"window {window} < nperseg {nperseg}")
     n_frames = 1 + (window - nperseg) // (nperseg - noverlap)
     return (nperseg // 2 + 1) * n_frames

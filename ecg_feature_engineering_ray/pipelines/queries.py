@@ -1292,6 +1292,20 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
         pk = f"{a}|{b}"
         doc2pairs.setdefault(a, []).append(pk)
         doc2pairs.setdefault(b, []).append(pk)
+    # Degree cap (fail loud, like max_bucket): a doc in a near-dup clique of
+    # m candidates has its text replicated m−1 times into the verify
+    # exchange and its n-grams recomputed m−1 times — O(m²) bytes/CPU per
+    # clique.  Exact dedup runs FIRST in this engine (identical texts
+    # collapse to one survivor), so a candidate degree this high means the
+    # banding is degenerate, not that the corpus is legitimately that dupey.
+    max_degree = 256
+    worst = max(doc2pairs.items(), key=lambda kv: len(kv[1]))
+    if len(worst[1]) > max_degree:
+        raise ValueError(
+            f"near-dup candidate doc {worst[0]} participates in {len(worst[1])} "
+            f"pairs > max_degree={max_degree}: run exact dedup first or raise "
+            "num_perm/bands — refusing O(clique²) text replication"
+        )
     pref = ray.put(doc2pairs)
 
     def route_texts(batch: pa.Table) -> pa.Table:
@@ -1318,7 +1332,13 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
         a, b = int(a_s), int(b_s)
         tx = dict(zip(group["doc_id"], group["text"]))
         if a not in tx or b not in tx:
-            return empty
+            # both sides were routed from the same corpus scan that produced
+            # the candidates — a missing side is a routing defect (id type
+            # drift, missed fragment), never a legitimate outcome
+            raise KeyError(
+                f"near-dup pair {a}|{b}: text missing for "
+                f"{[d for d in (a, b) if d not in tx]} — routing defect"
+            )
         j = T.jaccard(T.char_ngrams(tx[a]), T.char_ngrams(tx[b]))
         if j < 0.5:
             return empty
@@ -1333,7 +1353,12 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
 # driver check — the pytest oracle in tests/oracle.py is their value gate)
 # ---------------------------------------------------------------------------
 
-_FIXTURE_BASE = "/tmp/efr_driver_fixture_e120_s42"
+# the version suffix keys the cache to the OUTPUT SCHEMA of the fixture
+# pipelines: bump it whenever a fixture query's column set / widths change
+# (e.g. SHORT 36->150 cols, spec_checksum) so a host that ran older code
+# regenerates instead of hash-failing against stale expected_*.parquet
+_FIXTURE_SCHEMA_V = 3
+_FIXTURE_BASE = f"/tmp/efr_driver_fixture_e120_s42_v{_FIXTURE_SCHEMA_V}"
 
 
 def _fixture(sf_dir: str) -> tuple[str, str]:
@@ -1469,7 +1494,7 @@ def _expected_from_oracle(name: str, compute) -> str:
 
 @register(
     "deep_scores",
-    "SELECT * FROM read_parquet('{base}/expected_deep_scores.parquet')".format(base="/tmp/efr_driver_fixture_e120_s42"),
+    "SELECT * FROM read_parquet('{base}/expected_deep_scores.parquet')".format(base=_FIXTURE_BASE),
 )
 def deep_scores(sf_dir: str):
     """T1: stateful actor-pool model scoring over image bytes
@@ -1529,7 +1554,7 @@ def oversample_by_type(sf_dir: str):
 
 @register(
     "resize_thumbnails",
-    "SELECT * FROM read_parquet('{base}/expected_thumbs.parquet')".format(base="/tmp/efr_driver_fixture_e120_s42"),
+    "SELECT * FROM read_parquet('{base}/expected_thumbs.parquet')".format(base=_FIXTURE_BASE),
 )
 def resize_thumbnails(sf_dir: str):
     """Multimodal transform: decode → nearest-neighbor resize 16×16 →

@@ -52,6 +52,11 @@ def grouped_agg(
     def partial(batch: pa.Table) -> pa.Table:
         # Arrow-native partial: pa.TableGroupBy hash-aggregates without a
         # pandas round-trip, so the combiner stays zero-copy on the batch.
+        # NaN semantics are DELIBERATELY Arrow's (= ANSI SQL / the DuckDB
+        # oracle): NaN is a VALUE — count() includes it, sum/mean/std over a
+        # NaN-bearing group return NaN.  (The previous pandas partials
+        # silently skipped NaN, diverging from the oracle.)  Nulls are
+        # skipped by both, as in SQL.
         import pyarrow.compute as pc  # noqa: PLC0415
 
         t = batch.select(

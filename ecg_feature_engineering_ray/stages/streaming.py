@@ -39,7 +39,7 @@ SESSION_GAP_US = 30_000_000
 @ray.remote
 class EntityStateActor:
     def __init__(self, allowed_lateness_us: int, ring_size: int = 8, gap_us: int = SESSION_GAP_US,
-                 seen_cap: int = 4096):
+                 seen_cap: int = 4096, seen_rows_cap: int = 262_144):
         self.lateness = allowed_lateness_us
         self.gap = gap_us
         self.ring_size = ring_size
@@ -52,11 +52,15 @@ class EntityStateActor:
         # exactly-once re-delivery: ingest is keyed by a content fingerprint;
         # a Ray task retry (or re-execution of the routing stage) replays the
         # SAME batch and gets the memoized emission instead of corrupting
-        # watermarks/sessions with a double ingest.  BOUNDED (FIFO eviction):
-        # retries replay recent batches, so only a trailing window of keys is
-        # ever consulted — an unbounded dict would grow with stream length.
+        # watermarks/sessions with a double ingest.  BOUNDED (FIFO eviction)
+        # in BOTH entry count and total memoized rows: each entry retains a
+        # batch's full emitted rows, so an entry-only cap could still pin
+        # (entries × batch rows) of heap — retries replay recent batches, so
+        # only a trailing window is ever consulted.
         self.seen: dict[str, dict] = {}
         self.seen_cap = seen_cap
+        self.seen_rows_cap = seen_rows_cap
+        self._seen_rows = 0
 
     def _emit_ready(self, eid: str, out: list) -> None:
         wm = self.watermark.get(eid, -1)
@@ -105,8 +109,12 @@ class EntityStateActor:
         result = {"rows": out, "late_dropped": self.late_dropped}
         if batch_key is not None:
             self.seen[batch_key] = result
-            while len(self.seen) > self.seen_cap:  # FIFO: dicts keep insertion order
-                self.seen.pop(next(iter(self.seen)))
+            self._seen_rows += len(out)
+            # FIFO eviction (dicts keep insertion order), entry- AND row-bounded
+            while len(self.seen) > self.seen_cap or (
+                self._seen_rows > self.seen_rows_cap and len(self.seen) > 1
+            ):
+                self._seen_rows -= len(self.seen.pop(next(iter(self.seen)))["rows"])
         return result
 
     def flush(self) -> list:

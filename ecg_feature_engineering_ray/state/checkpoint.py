@@ -73,12 +73,21 @@ def commit_partition(
     """Atomically write one partition's data + manifest; returns the manifest."""
     os.makedirs(out_dir, exist_ok=True)
     data_path, man_path = partition_paths(out_dir, bucket)
+    # A partition is complete iff its MANIFEST exists — enforce the invariant
+    # instead of asserting it in prose: a re-commit of a manifest-complete
+    # bucket (double driver, caller bug, replayed commit task) must fail
+    # loudly, not rmtree committed data out from under concurrent readers.
+    if os.path.exists(man_path):
+        raise FileExistsError(
+            f"bucket {bucket} already committed ({man_path}); "
+            "resume must skip completed buckets, not re-commit them"
+        )
     data_path = write_fragment(table, data_path)
-    # A partition is complete iff its MANIFEST exists, so clearing a stale
-    # destination here is safe: we can only be re-committing a partition
-    # whose manifest was never written (crash between data rename and
-    # manifest write).  Required for the lance branch — os.replace cannot
-    # overwrite a non-empty directory dataset.
+    # Clearing a stale destination here is safe: the manifest check above
+    # proves we can only be re-committing a partition whose manifest was
+    # never written (crash between data rename and manifest write).
+    # Required for the lance branch — os.replace cannot overwrite a
+    # non-empty directory dataset.
     if os.path.isdir(data_path):
         import shutil  # noqa: PLC0415
 

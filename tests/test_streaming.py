@@ -77,6 +77,19 @@ def test_ingest_is_idempotent_and_memo_bounded(ray_session):
     evicted = ray.get(a.ingest.remote(rows, "k1"))
     assert evicted["late_dropped"] == 2  # state was consulted, not the memo
 
+    # row-bounded memo: entries evict once total memoized rows exceed the
+    # cap, even when the entry count is far under seen_cap
+    b = EntityStateActor.remote(allowed_lateness_us=0, seen_cap=100,
+                                seen_rows_cap=3)
+    r1 = [("e1", 1_000_000, 1.0), ("e1", 2_000_000, 2.0)]
+    r2 = [("e1", 3_000_000, 3.0), ("e1", 4_000_000, 4.0)]
+    ray.get(b.ingest.remote(r1, "ka"))
+    ray.get(b.ingest.remote(r2, "kb"))  # 4 memoized rows > 3 → "ka" evicted
+    evicted_b = ray.get(b.ingest.remote(r1, "ka"))
+    assert evicted_b["late_dropped"] == 2  # state consulted, not the memo
+    replay_b = ray.get(b.ingest.remote(r2, "kb"))  # newest entry kept
+    assert replay_b["late_dropped"] == 0  # memo hit — untouched by eviction
+
 
 def test_streaming_zero_lateness_drops_late_rows(fixture_events):
     events_dir, _ = fixture_events
