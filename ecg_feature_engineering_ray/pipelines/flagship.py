@@ -29,7 +29,6 @@ from ..stages.asof import SIDE_COL, asof_merge_table
 from ..stages.decode import decode_stage
 from ..stages.partition import (
     BUCKET_COL,
-    detect_hot_keys,
     entity_counts,
     grouped_sorted_apply,
     plan_buckets,
@@ -109,62 +108,15 @@ def compute_bucket_plan(
     }
 
 
-def pit_features(
-    events_dir: str,
-    queries_path: str,
-    num_buckets: int = 32,
-    detect_skew: bool = True,
-    hot_frac: float = 0.10,
-    decode_concurrency: int | tuple[int, int] = (2, 8),
-    sampen_max_n: int = 400,
-    hot_keys: list | None = None,
-    bucket_plan: dict | None = None,
-    decode_batch_size: int = 256,
-    pre_shuffle_blocks: int | None = -1,
-    instrument=None,
-) -> Dataset:
-    """Streaming Dataset of (image_id, as_of_ts, caption?, features…).
+def _make_tag_fns(salt: dict):
+    """Build the (query-side, event-side) batch-tagging fns for a salt map.
 
-    ``decode_batch_size`` controls decode task granularity: mixed image
-    sizes make per-batch cost vary ~16×, so fine batches (256) keep the
-    actor pool load-balanced (coarse 1024-row tasks leave the pool idle
-    behind one slow straggler wave)."""
-    events = read_events(events_dir)  # full schema — decode needs bytes
-    # throughput path: decode + phash content check; the canonical-encoding
-    # roundtrip is a test-time invariant (see stages/decode.py)
-    decoded = decode_stage(events, concurrency=decode_concurrency,
-                           batch_size=decode_batch_size, verify_roundtrip=False)
-    decoded = decoded.select_columns(["image_id", "ts", "v"])
-    # STAGE the decode phase: materialize the projected (payload-free) rows
-    # before the shuffle.  The projection is ~400x smaller than the input
-    # (40 B/row vs KB-scale image bytes) and is exactly the row set the sort
-    # barrier must hold anyway, so this adds no asymptotic memory — and it
-    # lets the actor-pool phase and the shuffle phase each get clean
-    # scheduling (fused streaming measured ~30% slower end-to-end).
-    decoded = decoded.materialize()
-
-    left = ray.data.read_parquet(queries_path)
-
-    # skew stats read ONLY the key column (column-pruned scan) — they must
-    # not force a second pass through the decode stage.  Heavy entities are
-    # LPT-packed into balanced buckets (plan_buckets); the per-entity counts
-    # double as hot-key detection.  A precomputed ``hot_keys`` list skips
-    # nothing here — packing still needs counts — but is accepted for API
-    # compatibility (production runs pass stats from a periodic job).
-    if bucket_plan is not None:
-        cfg = bucket_plan
-    elif detect_skew or hot_keys is not None:
-        cfg = compute_bucket_plan(events_dir, queries_path, num_buckets, sampen_max_n)
-    else:
-        cfg = {"plan": None, "salt": {}}
-    plan, salt = cfg["plan"], cfg.get("salt", {})
-    point_fn = make_pit_feature_fn(sampen_max_n)
-
-    # tag + align (see stages/asof.py): one shuffle carries both sides.
-    # Salted entities: queries are hash-split into k salt groups, events are
-    # replicated into every group — each salt bucket still sees the full
-    # event history, so results are identical; work for one hot entity
-    # spreads over k workers.
+    Shared by the streaming and checkpointed flagship paths so BOTH get
+    identical salted bucket routing: queries hash-split into k salt groups
+    (``image_id#salt`` composite ``__skey``), events replicated into every
+    group so each salt bucket sees the full event history and per-(entity,
+    as-of) results stay exact while one hot entity's work spreads over k
+    workers."""
     import pyarrow.compute as pc  # noqa: PLC0415
 
     def _salt_k_per_row(id_col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, pa.Array]:
@@ -239,6 +191,64 @@ def pit_features(
             }
         )
 
+    return tag_left, tag_right
+
+
+def pit_features(
+    events_dir: str,
+    queries_path: str,
+    num_buckets: int = 32,
+    detect_skew: bool = True,
+    hot_frac: float = 0.10,
+    decode_concurrency: int | tuple[int, int] = (2, 8),
+    sampen_max_n: int = 400,
+    hot_keys: list | None = None,
+    bucket_plan: dict | None = None,
+    decode_batch_size: int = 256,
+    pre_shuffle_blocks: int | None = -1,
+    instrument=None,
+) -> Dataset:
+    """Streaming Dataset of (image_id, as_of_ts, caption?, features…).
+
+    ``decode_batch_size`` controls decode task granularity: mixed image
+    sizes make per-batch cost vary ~16×, so fine batches (256) keep the
+    actor pool load-balanced (coarse 1024-row tasks leave the pool idle
+    behind one slow straggler wave)."""
+    events = read_events(events_dir)  # full schema — decode needs bytes
+    # throughput path: decode + phash content check; the canonical-encoding
+    # roundtrip is a test-time invariant (see stages/decode.py)
+    decoded = decode_stage(events, concurrency=decode_concurrency,
+                           batch_size=decode_batch_size, verify_roundtrip=False)
+    decoded = decoded.select_columns(["image_id", "ts", "v"])
+    # STAGE the decode phase: materialize the projected (payload-free) rows
+    # before the shuffle.  The projection is ~400x smaller than the input
+    # (40 B/row vs KB-scale image bytes) and is exactly the row set the sort
+    # barrier must hold anyway, so this adds no asymptotic memory — and it
+    # lets the actor-pool phase and the shuffle phase each get clean
+    # scheduling (fused streaming measured ~30% slower end-to-end).
+    decoded = decoded.materialize()
+
+    left = ray.data.read_parquet(queries_path)
+
+    # skew stats read ONLY the key column (column-pruned scan) — they must
+    # not force a second pass through the decode stage.  Heavy entities are
+    # LPT-packed into balanced buckets (plan_buckets); the per-entity counts
+    # double as hot-key detection.  A precomputed ``hot_keys`` list skips
+    # nothing here — packing still needs counts — but is accepted for API
+    # compatibility (production runs pass stats from a periodic job).
+    if bucket_plan is not None:
+        cfg = bucket_plan
+    elif detect_skew or hot_keys is not None:
+        cfg = compute_bucket_plan(events_dir, queries_path, num_buckets, sampen_max_n)
+    else:
+        cfg = {"plan": None, "salt": {}}
+    plan, salt = cfg["plan"], cfg.get("salt", {})
+    point_fn = make_pit_feature_fn(sampen_max_n)
+
+    # tag + align (see stages/asof.py): one shuffle carries both sides;
+    # salted routing shared with the checkpointed path (_make_tag_fns)
+    tag_left, tag_right = _make_tag_fns(salt)
+
     unioned = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
         decoded.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
     )
@@ -274,23 +284,28 @@ def pit_features_checkpointed(
     out_dir: str,
     num_buckets: int = 32,
     detect_skew: bool = True,
+    bucket_plan: dict | None = None,
+    sampen_max_n: int = 400,
 ) -> list[dict]:
     """Same pipeline with a resumable per-partition sink.
 
     Completed buckets (manifest present) are skipped at the partitioning
     stage; each bucket commits data+manifest atomically from its worker.
     Returns the manifests of THIS run (empty if everything was done).
+
+    Skew handling matches the throughput path: the cost-model bucket plan
+    (:func:`compute_bucket_plan` — LPT packing + sub-bucket query-split
+    salting) is computed on the FIRST run (or passed in), persisted in the
+    run config, and reloaded on resume/backfill — bucket assignment is
+    invariant across runs even when late fragments change the entity counts
+    the plan was derived from.  Passing a ``bucket_plan`` that differs from
+    the committed one raises, like a ``num_buckets`` mismatch.
     """
     from ..state.backfill import load_run_config, save_run_config
 
     done = completed_buckets(out_dir)
     fragments = list_fragments(events_dir)
 
-    events = read_events(events_dir)
-    decoded = decode_stage(events, verify_roundtrip=False).select_columns(
-        ["image_id", "ts", "v"]
-    ).materialize()  # staged decode phase — see pit_features
-    left = ray.data.read_parquet(queries_path)
     cfg = load_run_config(out_dir)
     if cfg is not None:
         # resume/backfill: bucket assignment MUST match the original run
@@ -298,46 +313,47 @@ def pit_features_checkpointed(
             raise ValueError(
                 f"num_buckets {num_buckets} != committed run config {cfg['num_buckets']}"
             )
-        hot = cfg["hot_keys"]
+        plan = cfg.get("plan") or {}
+        salt = cfg.get("salt") or {}
+        if bucket_plan is not None and (
+            (bucket_plan.get("plan") or {}) != plan
+            or {k: int(v) for k, v in (bucket_plan.get("salt") or {}).items()} != salt
+        ):
+            raise ValueError(
+                "bucket_plan differs from the committed run config — "
+                "resume must reuse the original plan"
+            )
+        hot = cfg.get("hot_keys") or []
     else:
-        hot = (
-            detect_hot_keys(read_events(events_dir, columns=["image_id"]), "image_id", hot_frac=0.10)
-            if detect_skew
-            else []
-        )
-        save_run_config(out_dir, num_buckets, hot, fragments)
-    point_fn = make_pit_feature_fn()
+        hot = []
+        if bucket_plan is None and detect_skew:
+            bucket_plan = compute_bucket_plan(
+                events_dir, queries_path, num_buckets, sampen_max_n
+            )
+        plan = dict((bucket_plan or {}).get("plan") or {})
+        salt = {k: int(v) for k, v in ((bucket_plan or {}).get("salt") or {}).items()}
+        save_run_config(out_dir, num_buckets, hot, fragments, plan=plan, salt=salt)
 
-    def tag_left(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "image_id": b.column("image_id"),
-                "__ts": b.column("as_of_ts").cast(pa.timestamp("us")),
-                "v": pa.nulls(b.num_rows, pa.float64()),
-                SIDE_COL: pa.array(np.ones(b.num_rows, np.int8)),
-            }
-        )
-
-    def tag_right(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "image_id": b.column("image_id"),
-                "__ts": b.column("ts").cast(pa.timestamp("us")),
-                "v": b.column("v"),
-                SIDE_COL: pa.array(np.zeros(b.num_rows, np.int8)),
-            }
-        )
+    events = read_events(events_dir)
+    decoded = decode_stage(events, verify_roundtrip=False).select_columns(
+        ["image_id", "ts", "v"]
+    ).materialize()  # staged decode phase — see pit_features
+    left = ray.data.read_parquet(queries_path)
+    point_fn = make_pit_feature_fn(sampen_max_n)
+    tag_left, tag_right = _make_tag_fns(salt)
 
     unioned = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
         decoded.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc  # noqa: PLC0415
+
         t0 = time.time()
         bucket = int(tbl.column(BUCKET_COL)[0].as_py())
         tbl = tbl.drop_columns([BUCKET_COL])
         merged = asof_merge_table(
-            tbl, "image_id", "__ts",
+            tbl, "__skey", "__ts",
             aggs={"__cnt": ("v", "count")},
             left_cols=["image_id", "__ts"],
             point_fn=point_fn,
@@ -350,7 +366,7 @@ def pit_features_checkpointed(
         side = np.asarray(tbl.column(SIDE_COL).combine_chunks())
         ev_ts = np.asarray(tbl.column("__ts").cast(pa.int64()).combine_chunks())[side == 0]
         watermark = int(ev_ts.max()) if ev_ts.size else None
-        n_entities = len(set(tbl.column("image_id").to_pylist()))
+        n_entities = pc.count_distinct(tbl.column("image_id")).as_py()
         manifest = commit_partition(
             out_dir, bucket, merged, fragments, watermark, t0,
             extra={"n_entities": n_entities, "n_input_rows": tbl.num_rows},
@@ -360,8 +376,8 @@ def pit_features_checkpointed(
         return pa.table({"manifest": pa.array([json.dumps(manifest)], pa.string())})
 
     out = grouped_sorted_apply(
-        unioned, "image_id", ["__ts", SIDE_COL], per_bucket, num_buckets,
-        hot_keys=hot, skip_buckets=done, keep_bucket_col=True,
+        unioned, "__skey", ["__ts", SIDE_COL], per_bucket, num_buckets,
+        hot_keys=hot, explicit_map=plan, skip_buckets=done, keep_bucket_col=True,
         pre_shuffle_blocks=num_buckets,
     )
     import json  # noqa: PLC0415

@@ -1226,9 +1226,11 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
     shuffle carries ONLY ids and 16-char keys, never the text (at 100 TB the
     corpus moves zero times through this exchange).  Same band-key ⇒
     candidate pair; pairs are deduped across bands FIRST, then verified by
-    exact Jaccard with texts fetched for candidates only (filter + broadcast
-    — candidates are LSH-rare by construction; the driver holds candidate
-    ids, not the corpus).  A bucket above ``max_bucket`` docs fails loudly:
+    exact Jaccard fully DISTRIBUTED: the pair stream stays a Dataset end to
+    end (the driver's only artifact is a fixed-size bloom bitmap of
+    candidate doc ids), candidate texts are bloom-filtered map-side out of
+    the corpus scan and hash-joined onto the exploded pair stream in one
+    ``groupby(doc_id)`` exchange.  A bucket above ``max_bucket`` docs fails loudly:
     silent truncation reads as full coverage, and a degenerate band means
     the banding config is wrong for the corpus, not that O(n²) work should
     quietly proceed.
@@ -1270,59 +1272,135 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
         return pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
 
     pairs = banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
+    # pair IDS only (16 B/row) as DISTRIBUTED blocks — the driver never holds
+    # the pair list (a dup-heavy 100-TB crawl yields O(10⁸) candidate pairs).
+    # materialize() pins the deduped stream in the object store so the two
+    # consumers below (bloom aggregate + routing union) don't re-run the
+    # minhash lineage over the corpus.
     deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
-    )
+    ).materialize()
 
-    # DISTRIBUTED verification: the driver only ever touches pair IDS (16
-    # bytes each); candidate TEXTS never aggregate anywhere central.  The
-    # pair list is broadcast (ray.put) into a filtered corpus scan that
-    # routes each candidate doc's text to the pairs that need it, and exact
-    # Jaccard runs inside a groupby(pair) shuffle — on a dup-heavy 100-TB
-    # crawl the texts ride the (candidate-only) exchange, not the driver.
-    pair_rows = [(int(r["doc_a"]), int(r["doc_b"])) for r in deduped.take_all()]
-    if not pair_rows:
+    # wants stream: one (doc_id, pair_key) row per pair SIDE — all-Arrow
+    def explode_pair(batch: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_a"), pa.string()),
+            pc.cast(batch.column("doc_b"), pa.string()),
+            "|",
+        )
+        return pa.concat_tables([
+            pa.table({"doc_id": batch.column("doc_a"), "pair": pk}),
+            pa.table({"doc_id": batch.column("doc_b"), "pair": pk}),
+        ])
+
+    wants = deduped.map_batches(explode_pair, batch_format="pyarrow", zero_copy_batch=True)
+
+    # Candidate-doc membership as a FIXED-SIZE bloom bitmap (1 MiB regardless
+    # of pair count) built by a distributed OR-aggregate — the only thing
+    # that ever lands on the driver.  A false positive just ships one extra
+    # text into the join shuffle (dropped there); no false negatives.
+    from ray.data.aggregate import AggregateFn  # noqa: PLC0415
+
+    from ..functions.hashing import splitmix64  # noqa: PLC0415
+
+    BLOOM_BITS = np.uint64(1 << 23)
+    BLOOM_K = 4
+
+    def _bloom_pos(ids: np.ndarray) -> np.ndarray:
+        """(n, K) bit positions via double hashing of int64 doc ids."""
+        u = ids.astype(np.uint64)
+        h1 = splitmix64(u)
+        h2 = splitmix64(u ^ np.uint64(0xA5A5A5A5DEADBEEF))
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + np.arange(BLOOM_K, dtype=np.uint64)[None, :] * h2[:, None]) % BLOOM_BITS
+
+    def _bloom_acc(bitmap: np.ndarray, block: pa.Table) -> np.ndarray:
+        ids = np.asarray(block.column("doc_id").combine_chunks())
+        if ids.size:
+            pos = _bloom_pos(ids).ravel()
+            np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
+                             (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8))
+        return bitmap
+
+    agg_res = wants.aggregate(AggregateFn(
+        init=lambda k: np.zeros(int(BLOOM_BITS) // 8, np.uint8),
+        merge=np.bitwise_or,
+        accumulate_block=_bloom_acc,
+        name="bloom",
+    ))
+    bitmap = agg_res["bloom"] if isinstance(agg_res, dict) else agg_res
+    if bitmap is None:  # no candidate pairs anywhere
         return ray.data.from_arrow(
             pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
         )
-    doc2pairs: dict[int, list[str]] = {}
-    for a, b in pair_rows:
-        pk = f"{a}|{b}"
-        doc2pairs.setdefault(a, []).append(pk)
-        doc2pairs.setdefault(b, []).append(pk)
-    # Degree cap (fail loud, like max_bucket): a doc in a near-dup clique of
-    # m candidates has its text replicated m−1 times into the verify
-    # exchange and its n-grams recomputed m−1 times — O(m²) bytes/CPU per
-    # clique.  Exact dedup runs FIRST in this engine (identical texts
-    # collapse to one survivor), so a candidate degree this high means the
-    # banding is degenerate, not that the corpus is legitimately that dupey.
+    bloom_ref = ray.put(np.ascontiguousarray(bitmap))
+
+    def corpus_filter(batch: pa.Table) -> pa.Table:
+        """Map-side candidate filter: only (approx) candidate texts enter the
+        join exchange — non-candidate texts never leave their scan task."""
+        bm = ray.get(bloom_ref)
+        ids = np.asarray(batch.column("doc_id").combine_chunks())
+        if not ids.size:
+            return batch
+        pos = _bloom_pos(ids)
+        bit = (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8)
+        hit = ((bm[(pos >> np.uint64(3)).astype(np.int64)] & bit) == bit).all(axis=1)
+        return batch.filter(pa.array(hit))
+
+    cand = ds.map_batches(corpus_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    # co-partitioned hash join on doc_id: union the (tiny) wants rows with
+    # the (candidate-only) text rows, ONE groupby(doc_id) shuffle routes each
+    # text to exactly the pairs that need it.  Degree cap enforced HERE,
+    # distributed (fail loud, like max_bucket): a doc in a near-dup clique of
+    # m candidates has its text replicated m−1 times and its n-grams
+    # recomputed m−1 times — O(m²) bytes/CPU per clique.  Exact dedup runs
+    # FIRST in this engine, so degrees that high mean degenerate banding.
     max_degree = 256
-    worst = max(doc2pairs.items(), key=lambda kv: len(kv[1]))
-    if len(worst[1]) > max_degree:
-        raise ValueError(
-            f"near-dup candidate doc {worst[0]} participates in {len(worst[1])} "
-            f"pairs > max_degree={max_degree}: run exact dedup first or raise "
-            "num_perm/bands — refusing O(clique²) text replication"
-        )
-    pref = ray.put(doc2pairs)
 
-    def route_texts(batch: pa.Table) -> pa.Table:
-        d2p = ray.get(pref)
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_pk, out_id, out_tx = [], [], []
-        for did, t in zip(ids, texts):
-            for pk in d2p.get(did, ()):
-                out_pk.append(pk)
-                out_id.append(did)
-                out_tx.append(t)
-        return pa.table({"pair": pa.array(out_pk, pa.string()),
-                         "doc_id": pa.array(out_id, pa.int64()),
-                         "text": pa.array(out_tx, pa.string())})
+    def tag_wants(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "pair": b.column("pair"),
+                         "text": pa.nulls(b.num_rows, pa.string())})
 
-    routed = ds.map_batches(route_texts, batch_format="pyarrow", zero_copy_batch=True)
+    def tag_texts(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "pair": pa.nulls(b.num_rows, pa.string()),
+                         "text": b.column("text")})
+
+    unioned = wants.map_batches(tag_wants, batch_format="pyarrow", zero_copy_batch=True).union(
+        cand.map_batches(tag_texts, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_doc(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"pair": pd.Series(dtype="object"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "text": pd.Series(dtype="object")})
+        want_mask = group["pair"].notna()
+        pair_keys = group.loc[want_mask, "pair"]
+        if pair_keys.empty:  # bloom false positive — no pair wants this doc
+            return empty
+        if len(pair_keys) > max_degree:
+            raise ValueError(
+                f"near-dup candidate doc {group['doc_id'].iloc[0]} participates "
+                f"in {len(pair_keys)} pairs > max_degree={max_degree}: run exact "
+                "dedup first or raise num_perm/bands — refusing O(clique²) "
+                "text replication"
+            )
+        texts = group.loc[~want_mask, "text"]
+        if texts.empty:
+            # the wants side was derived from the same corpus scan that
+            # produced the candidates — a missing text is a routing defect
+            # (id type drift, missed fragment), never a legitimate outcome
+            raise KeyError(
+                f"near-dup doc {group['doc_id'].iloc[0]}: text missing — routing defect"
+            )
+        return pd.DataFrame({"pair": pair_keys.to_numpy(),
+                             "doc_id": group["doc_id"].iloc[0],
+                             "text": texts.iloc[0]})
+
+    routed = unioned.groupby("doc_id").map_groups(join_doc, batch_format="pandas")
 
     def verify_pair(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
@@ -1332,9 +1410,6 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
         a, b = int(a_s), int(b_s)
         tx = dict(zip(group["doc_id"], group["text"]))
         if a not in tx or b not in tx:
-            # both sides were routed from the same corpus scan that produced
-            # the candidates — a missing side is a routing defect (id type
-            # drift, missed fragment), never a legitimate outcome
             raise KeyError(
                 f"near-dup pair {a}|{b}: text missing for "
                 f"{[d for d in (a, b) if d not in tx]} — routing defect"

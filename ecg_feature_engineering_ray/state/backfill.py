@@ -30,11 +30,33 @@ from .checkpoint import MANIFEST_SUFFIX, completed_buckets, partition_paths
 RUN_CONFIG = "_run.json"
 
 
-def save_run_config(out_dir: str, num_buckets: int, hot_keys: list, fragments: list[str]) -> None:
+def save_run_config(
+    out_dir: str,
+    num_buckets: int,
+    hot_keys: list,
+    fragments: list[str],
+    plan: dict | None = None,
+    salt: dict | None = None,
+) -> None:
+    """Persist everything bucket assignment depends on.
+
+    ``plan`` ({salted key → bucket}, from LPT packing) and ``salt``
+    ({image_id → k salt groups}) make the cost-model placement resume-
+    invariant: a backfill run MUST reuse the committed plan even though the
+    fragment set (and hence any recomputed plan) changed."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, RUN_CONFIG)
     with open(path + ".tmp", "w") as f:
-        json.dump({"num_buckets": num_buckets, "hot_keys": hot_keys, "fragments": fragments}, f)
+        json.dump(
+            {
+                "num_buckets": num_buckets,
+                "hot_keys": hot_keys,
+                "fragments": fragments,
+                "plan": plan or {},
+                "salt": {k: int(v) for k, v in (salt or {}).items()},
+            },
+            f,
+        )
     os.replace(path + ".tmp", path)
 
 
@@ -53,6 +75,27 @@ def bucket_of(image_id: str, num_buckets: int, hot_keys: list) -> int:
     return md5_u64(image_id) % num_buckets
 
 
+def buckets_of(image_id: str, cfg: dict) -> set[int]:
+    """All buckets that can hold ``image_id`` rows under a saved run config.
+
+    A salted entity's events are replicated into every salt group
+    ``image_id#0..k-1`` (pipelines/flagship._make_tag_fns), so a late event
+    row touches EVERY one of those buckets; unsalted entities map to exactly
+    one.  Mirrors with_bucket's precedence: explicit plan wins over the
+    hash, hot-key dedicated buckets win over both (legacy configs)."""
+    num_buckets = cfg["num_buckets"]
+    hot_keys = cfg.get("hot_keys") or []
+    if image_id in hot_keys:
+        return {num_buckets + hot_keys.index(image_id)}
+    plan = cfg.get("plan") or {}
+    k = int((cfg.get("salt") or {}).get(image_id, 1))
+    skeys = [f"{image_id}#{j}" for j in range(k)] if k > 1 else [image_id]
+    return {
+        int(plan[s]) if s in plan else md5_u64(s) % num_buckets
+        for s in skeys
+    }
+
+
 def invalidate_for_fragments(out_dir: str, new_fragments: list[str]) -> set[int]:
     """Drop the partitions whose entities appear in ``new_fragments``.
 
@@ -66,7 +109,7 @@ def invalidate_for_fragments(out_dir: str, new_fragments: list[str]) -> set[int]
     for frag in new_fragments:
         t = pq.read_table(frag, columns=["image_id"])
         for v in t.column("image_id").combine_chunks().unique().to_pylist():
-            affected.add(bucket_of(v, cfg["num_buckets"], cfg["hot_keys"]))
+            affected.update(buckets_of(v, cfg))
     done = completed_buckets(out_dir)
     invalidated = affected & done
     for b in invalidated:
@@ -98,7 +141,8 @@ def late_rows_below_watermark(out_dir: str, new_fragments: list[str]) -> int:
         ids = t.column("image_id").to_pylist()
         ts = t.column("ts").cast(pa.int64()).to_pylist()
         for i, v in zip(ts, ids):
-            b = bucket_of(v, cfg["num_buckets"], cfg["hot_keys"])
-            if b in watermarks and i < watermarks[b]:
+            if any(
+                b in watermarks and i < watermarks[b] for b in buckets_of(v, cfg)
+            ):
                 n_late += 1
     return n_late

@@ -73,15 +73,24 @@ def commit_partition(
     """Atomically write one partition's data + manifest; returns the manifest."""
     os.makedirs(out_dir, exist_ok=True)
     data_path, man_path = partition_paths(out_dir, bucket)
-    # A partition is complete iff its MANIFEST exists — enforce the invariant
-    # instead of asserting it in prose: a re-commit of a manifest-complete
-    # bucket (double driver, caller bug, replayed commit task) must fail
-    # loudly, not rmtree committed data out from under concurrent readers.
+    # A partition is complete iff its MANIFEST exists.  The write is
+    # deterministic, and commit runs inside Ray data tasks: a worker lost
+    # AFTER the manifest write but before the block returns gets its task
+    # replayed by lineage, so an existing manifest with MATCHING content is a
+    # benign retry — return it idempotently.  Only a content mismatch (same
+    # bucket, different rows — a double-driver or caller bug) fails loudly;
+    # the old unconditional raise turned every legitimate retry into a
+    # whole-run failure.
     if os.path.exists(man_path):
-        raise FileExistsError(
-            f"bucket {bucket} already committed ({man_path}); "
-            "resume must skip completed buckets, not re-commit them"
-        )
+        with open(man_path) as fh:
+            existing = json.load(fh)
+        if existing.get("rows") != table.num_rows:
+            raise FileExistsError(
+                f"bucket {bucket} already committed ({man_path}) with "
+                f"{existing.get('rows')} rows but re-commit carries "
+                f"{table.num_rows} rows — refusing to overwrite committed data"
+            )
+        return existing
     data_path = write_fragment(table, data_path)
     # Clearing a stale destination here is safe: the manifest check above
     # proves we can only be re-committing a partition whose manifest was
@@ -133,7 +142,14 @@ def read_output(out_dir: str) -> pa.Table:
         path = os.path.join(out_dir, f)
         if f.endswith(".parquet"):
             parts.append(pq.read_table(path))
-        elif f.endswith(".lance") and os.path.isdir(path) and HAVE_LANCE:
+        elif f.endswith(".lance") and os.path.isdir(path):
+            if not HAVE_LANCE:
+                # Silently omitting a committed lance partition would make
+                # resume validation "pass" on partial data.
+                raise RuntimeError(
+                    f"committed lance partition {path} present but the lance "
+                    "package is not importable — cannot read full output"
+                )
             import lance  # type: ignore  # noqa: PLC0415
 
             parts.append(lance.dataset(path).to_table())

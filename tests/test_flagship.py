@@ -211,6 +211,89 @@ def test_bucket_plan_atoms_bounded_and_placed(fixture_events, fixture_queries):
     assert all(g4["salt"][k] >= v for k, v in g1["salt"].items())
 
 
+def test_checkpointed_salted_plan_resume_and_balance(
+    fixture_events, fixture_queries, oracle_result, tmp_path
+):
+    """The checkpointed path gets the SAME cost-model salting as the
+    throughput path: plan+salt persist in the run config, the hot entity's
+    work lands in >1 partition (makespan probe), resume reuses the committed
+    plan, and a conflicting plan is rejected like a num_buckets mismatch."""
+    import pyarrow.parquet as pq
+
+    from ecg_feature_engineering_ray.pipelines.flagship import compute_bucket_plan
+    from ecg_feature_engineering_ray.state.backfill import load_run_config
+
+    events_dir, manifest = fixture_events
+    hot = manifest["hot_entity"]
+    cfg = compute_bucket_plan(events_dir, fixture_queries, num_buckets=64, max_salt=4)
+    assert cfg["salt"].get(hot, 1) > 1, "hot entity must be salted at this bucket count"
+
+    out_dir = str(tmp_path / "salted")
+    pit_features_checkpointed(
+        events_dir, fixture_queries, out_dir, num_buckets=64, bucket_plan=cfg
+    )
+    rc = load_run_config(out_dir)
+    assert rc["plan"] and rc["salt"].get(hot, 1) > 1, "plan+salt must persist"
+
+    # makespan probe: the salted hot entity's queries spread over >1 partition
+    hot_parts = 0
+    for f in sorted(os.listdir(out_dir)):
+        if f.endswith(".parquet"):
+            ids = pq.read_table(os.path.join(out_dir, f), columns=["image_id"])
+            if (ids.column("image_id").to_pandas() == hot).any():
+                hot_parts += 1
+    assert hot_parts >= 2, "salting must split the hot entity across partitions"
+
+    # values still exact vs the oracle
+    key = ["image_id", "as_of_ts"]
+    a = read_output(out_dir).to_pandas().sort_values(key).reset_index(drop=True)
+    o = oracle_result.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(o)
+    for name in PIT_FEATURE_NAMES:
+        assert np.allclose(a[name].values, o[name].values, rtol=1e-9, atol=1e-12, equal_nan=True), name
+
+    # a conflicting plan on resume is a hard error
+    with pytest.raises(ValueError, match="bucket_plan differs"):
+        pit_features_checkpointed(
+            events_dir, fixture_queries, out_dir, num_buckets=64,
+            bucket_plan={"plan": {}, "salt": {}},
+        )
+
+    # resume with no plan argument reuses the committed plan: recompute one
+    # victim partition, byte-equal output
+    victims = sorted(completed_buckets(out_dir))[:1]
+    for b in victims:
+        data, man = partition_paths(out_dir, b)
+        os.remove(data)
+        os.remove(man)
+    m2 = pit_features_checkpointed(events_dir, fixture_queries, out_dir, num_buckets=64)
+    assert {m["bucket"] for m in m2} == set(victims)
+    a2 = read_output(out_dir).to_pandas().sort_values(key).reset_index(drop=True)
+    for name in PIT_FEATURE_NAMES:
+        va, vb = a2[name].values, a[name].values
+        assert ((va == vb) | (np.isnan(va) & np.isnan(vb))).all(), name
+
+
+def test_commit_partition_idempotent_retry(tmp_path):
+    """A replayed commit task (worker lost after manifest write) must be a
+    no-op returning the committed manifest; only CONTENT mismatch raises."""
+    import time as _time
+
+    import pyarrow as pa
+
+    from ecg_feature_engineering_ray.state.checkpoint import commit_partition
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    m1 = commit_partition(str(tmp_path), 0, t, ["frag"], 5, _time.time())
+    m2 = commit_partition(str(tmp_path), 0, t, ["frag"], 5, _time.time())
+    assert m2["rows"] == m1["rows"] == 3
+    with pytest.raises(FileExistsError, match="refusing to overwrite"):
+        commit_partition(
+            str(tmp_path), 0, pa.table({"a": pa.array([1], pa.int64())}),
+            ["frag"], 5, _time.time(),
+        )
+
+
 def test_salting_splits_hot_entity_and_stays_correct(fixture_events, fixture_queries, oracle_result):
     """Forcing aggressive salting (tiny cost target via huge bucket count)
     must split the hot entity's queries across salt groups and still match
