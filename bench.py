@@ -32,6 +32,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PROFILE = os.environ.get("GRAFT_BENCH_PROFILE", "default")
+# cost-model/plan-format version: part of the on-disk plan cache key so a
+# cost-model change invalidates stale cached plans (bump alongside
+# compute_bucket_plan semantics, like _FIXTURE_SCHEMA_V does for fixtures)
+_PLAN_V = 2
 # fixed-size decode pool: autoscaling from min=2 serialized the pipeline;
 # capped at NUM_CPUS-1 so reads/shuffle tasks always have a slot (a pool
 # equal to the whole CPU budget starves every other operator)
@@ -118,6 +122,80 @@ def fixture_dirs(prof: dict) -> tuple[str, str]:
     return events_dir, queries_path
 
 
+def calib_sampen_per_s(target_s: float = 2.0) -> float:
+    """No-Ray calibration kernel: iterations/s of the HRV SampEn kernel over
+    a fixed 1200-sample series.  Recorded in every bench JSON so numbers
+    from different host-load windows can be normalized before round-over-
+    round comparison (this VM drifts ±10-30% between identical runs)."""
+    import numpy as np
+
+    from ecg_feature_engineering_ray.functions.entropy import sampen_hrv
+
+    x = np.random.default_rng(123).standard_normal(1200)
+    sampen_hrv(x)  # warm (allocator, code paths)
+    n, t0 = 0, time.time()
+    while time.time() - t0 < target_s:
+        sampen_hrv(x)
+        n += 1
+    return round(n / (time.time() - t0), 2)
+
+
+class _BucketTimer:
+    """Instrument for the flagship merge stage: wraps the per-bucket fn and
+    appends one JSON file per bucket (input/output rows, wall seconds) under
+    a run-scoped directory.  Observability only — result tables unchanged."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, fn):
+        out_dir = self.out_dir
+
+        def wrapped(tbl):
+            import json as _json  # noqa: PLC0415
+            import os as _os  # noqa: PLC0415
+            import time as _time  # noqa: PLC0415
+            import uuid as _uuid  # noqa: PLC0415
+
+            t0 = _time.time()
+            res = fn(tbl)
+            with open(_os.path.join(out_dir, f"b_{_uuid.uuid4().hex}.json"), "w") as f:
+                _json.dump({"rows_in": tbl.num_rows, "rows_out": res.num_rows,
+                            "wall_s": round(_time.time() - t0, 4)}, f)
+            return res
+
+        return wrapped
+
+
+def _stage_stats(stage_dir: str, decode_wall_s: float, merge_wall_s: float, cpus: int) -> dict:
+    """Aggregate the _BucketTimer files into the bench JSON's stages block."""
+    import numpy as np
+
+    walls, rows_in = [], 0
+    for f in os.listdir(stage_dir):
+        with open(os.path.join(stage_dir, f)) as fh:
+            rec = json.load(fh)
+        walls.append(rec["wall_s"])
+        rows_in += rec["rows_in"]
+    w = np.array(sorted(walls)) if walls else np.array([0.0])
+    return {
+        "decode_wall_s": round(decode_wall_s, 3),   # staged decode (actor pool + materialize)
+        "shuffle_merge_wall_s": round(merge_wall_s, 3),  # bucket exchange + sorted merge
+        "merge_buckets": {
+            "n": len(walls),
+            "rows_in": rows_in,
+            "sum_s": round(float(w.sum()), 3),
+            "mean_s": round(float(w.mean()), 4),
+            "p50_s": round(float(np.percentile(w, 50)), 4),
+            "p95_s": round(float(np.percentile(w, 95)), 4),
+            "max_s": round(float(w.max()), 4),
+        },
+        # busy merge CPU over the merge stage's wall-clock × pool size
+        "merge_utilization": round(float(w.sum()) / (merge_wall_s * cpus), 3)
+        if merge_wall_s > 0 else None,
+    }
+
+
 def run_suite() -> dict:
     import ray
 
@@ -135,7 +213,7 @@ def run_suite() -> dict:
     num_buckets = max(prof["buckets_per_cpu"] * NUM_CPUS, 64)
     plan_path = os.path.join(
         os.path.dirname(events_dir),
-        f"plan_b{num_buckets}_g{prof['granularity']}_n{prof['sampen_max_n']}_q{prof['queries']}.json",
+        f"plan_v{_PLAN_V}_b{num_buckets}_g{prof['granularity']}_n{prof['sampen_max_n']}_q{prof['queries']}.json",
     )
     if os.path.exists(plan_path):
         with open(plan_path) as f:
@@ -183,6 +261,15 @@ def run_suite() -> dict:
         w.map_batches(_warm_imports, batch_format="pyarrow").count()
         del w
 
+    # per-stage observability: _BucketTimer drops one JSON per merge bucket
+    # (single-node: workers share /tmp; on a cluster this would target shared
+    # storage), stage_times records the decode wall at the materialize()
+    # barrier.  Overhead is one ~100-byte file write per bucket — noise.
+    stage_dir = f"/tmp/efr_bench_stages_{os.getpid()}"
+    os.makedirs(stage_dir, exist_ok=True)
+    for stale in os.listdir(stage_dir):  # recycled pid → clear prior run's files
+        os.unlink(os.path.join(stage_dir, stale))
+    stage_times: dict = {}
     t0 = time.time()
     out = pit_features(
         events_dir,
@@ -191,10 +278,14 @@ def run_suite() -> dict:
         decode_concurrency=(DEC_ACTORS, DEC_ACTORS),
         sampen_max_n=prof["sampen_max_n"],
         bucket_plan=plan,
+        instrument=_BucketTimer(stage_dir),
+        stage_times=stage_times,
     )
     n_rows = out.count()
     flagship_s = time.time() - t0
     rows_per_s = n_rows / flagship_s
+    decode_wall = stage_times.get("decode_wall_s", 0.0)
+    stages = _stage_stats(stage_dir, decode_wall, flagship_s - decode_wall, NUM_CPUS)
 
     q_times: dict[str, float] = {}
     if prof["run_suite"]:
@@ -217,6 +308,7 @@ def run_suite() -> dict:
         "profile": PROFILE,
         "flagship_rows": n_rows,
         "flagship_rows_per_s": round(rows_per_s, 1),
+        "stages": stages,
     }
     ray.shutdown()
     return result
@@ -303,10 +395,19 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    # host-speed calibration: no-Ray single-core kernel rate, recorded in
+    # EVERY bench JSON (suite, scaling driver, and each scaling arm) so
+    # numbers from different host-load windows can be normalized before
+    # round-over-round comparison — this VM drifts ±10-30% between
+    # identical runs.  Runs before ray.init; never inside a timed window.
+    calib = calib_sampen_per_s()
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        res = run_scaling()
+        res["calib_sampen_per_s"] = calib
+        print(json.dumps(res))
     else:
         res = run_suite()
+        res["calib_sampen_per_s"] = calib
         # the north rule's two-cluster-size criterion, measured IN-RUN so the
         # recorded bench JSON carries the efficiency number itself (two fresh
         # processes at 8 and 32 CPUs over the same input).  Disable with

@@ -207,6 +207,7 @@ def pit_features(
     decode_batch_size: int = 256,
     pre_shuffle_blocks: int | None = -1,
     instrument=None,
+    stage_times: dict | None = None,
 ) -> Dataset:
     """Streaming Dataset of (image_id, as_of_ts, caption?, features…).
 
@@ -226,7 +227,13 @@ def pit_features(
     # barrier must hold anyway, so this adds no asymptotic memory — and it
     # lets the actor-pool phase and the shuffle phase each get clean
     # scheduling (fused streaming measured ~30% slower end-to-end).
+    # ``stage_times`` (observability seam, like ``instrument``): the
+    # materialize() barrier is the natural decode/shuffle boundary, so when a
+    # dict is passed we record the decode phase's wall seconds into it.
+    _t0 = time.time()
     decoded = decoded.materialize()
+    if stage_times is not None:
+        stage_times["decode_wall_s"] = time.time() - _t0
 
     left = ray.data.read_parquet(queries_path)
 

@@ -83,18 +83,25 @@ class EntityStateActor:
             ring.append((ts, v))
             out.append((eid, ts, v, lag_ms, v_lag, sid))
 
-    def ingest(self, rows: list, batch_key: str | None = None) -> dict:
-        """rows: list of (image_id, ts_us, v). Returns emitted rows + stats.
+    def ingest(self, ids, ts_arr, v_arr, batch_key: str | None = None) -> dict:
+        """Parallel arrays: ids (Arrow string array or list), ts_arr (int64
+        µs), v_arr (float64).  Array handoff keeps the router free of
+        per-row Python tuple construction; the per-row loop below is the
+        actor's inherent state machine (heap pushes), not serialization.
 
-        ``batch_key`` (a content hash from the router) makes ingest
-        IDEMPOTENT: a replayed key returns the memoized result without
-        touching state — Ray task retries and Dataset re-execution deliver
-        each batch's effect exactly once."""
+        ``batch_key`` (from the router, :func:`_batch_memo_key`) makes
+        ingest IDEMPOTENT: a replayed key returns the memoized result
+        without touching state — Ray task retries and Dataset re-execution
+        deliver each batch's effect exactly once."""
         if batch_key is not None and batch_key in self.seen:
             return self.seen[batch_key]
+        if isinstance(ids, (pa.Array, pa.ChunkedArray)):
+            ids = ids.to_pylist()
+        ts_list = np.asarray(ts_arr).tolist()
+        v_list = np.asarray(v_arr, dtype=np.float64).tolist()
         out: list = []
         touched = set()
-        for eid, ts, v in rows:
+        for eid, ts, v in zip(ids, ts_list, v_list):
             wm = self.watermark.get(eid, -1)
             if ts <= wm:
                 self.late_dropped += 1
@@ -128,6 +135,33 @@ class EntityStateActor:
         return {"late_dropped": self.late_dropped}
 
 
+def _batch_memo_key(ids: pa.Array, ts: np.ndarray, vs: np.ndarray,
+                    offsets: np.ndarray | None = None) -> str:
+    """Exactly-once memo key for one routed sub-batch.
+
+    With ``offsets`` (source-assigned delivery offsets, e.g. log positions):
+    the key is the offset array alone — a retry replays the same offsets
+    (same key → memo hit) while a source that legitimately delivers two
+    byte-identical payloads at different offsets gets DISTINCT keys, so the
+    duplicate hits the watermark path instead of replaying the first
+    emission.  Without offsets the key is a content hash over the raw Arrow
+    /numpy buffers — retry-safe, but dedup of identical source batches is
+    traded away (a true duplicate is indistinguishable from a retry)."""
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.md5()
+    if offsets is not None:
+        h.update(b"off:")
+        h.update(np.ascontiguousarray(offsets, dtype=np.int64).tobytes())
+        return h.hexdigest()
+    for buf in ids.buffers():
+        if buf is not None:
+            h.update(buf)
+    h.update(np.ascontiguousarray(ts).tobytes())
+    h.update(np.ascontiguousarray(vs).tobytes())
+    return h.hexdigest()
+
+
 def _emit_table(emitted: list) -> pa.Table:
     cols = list(zip(*emitted)) if emitted else [[]] * 6
     return pa.table(
@@ -150,6 +184,7 @@ def streaming_lag_sessionize(
     ts_col: str = "ts",
     value_col: str = "v",
     router_concurrency: int | tuple = None,
+    offset_col: str | None = None,
 ):
     """Run the arrival-ordered Dataset through the actor ring.
 
@@ -167,6 +202,13 @@ def streaming_lag_sessionize(
     actor's pending heap past its watermark and returns
     ``(flush_table, late_dropped)``.  The flush tail is bounded by
     (entities × lateness-window rows), the actors' live state.
+
+    ``offset_col`` (optional): name of a source-assigned int64 delivery-
+    offset column (log position / kafka-style offset).  With it, the
+    exactly-once memo keys on offsets, so two byte-identical payloads at
+    different offsets are correctly treated as distinct deliveries; without
+    it the memo keys on content and identical-batch dedup is traded away
+    (see :func:`_batch_memo_key`).
     """
     actors = [EntityStateActor.remote(allowed_lateness_us) for _ in range(num_actors)]
 
@@ -176,11 +218,13 @@ def streaming_lag_sessionize(
             self.n = len(handles)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import hashlib  # noqa: PLC0415
-
-            id_col = batch.column(key).combine_chunks()
+            id_col = batch.column(key).combine_chunks().cast(pa.string())
             ts = np.asarray(batch.column(ts_col).cast(pa.int64()).combine_chunks())
             vs = np.asarray(batch.column(value_col).combine_chunks(), dtype=np.float64)
+            offs = (
+                np.asarray(batch.column(offset_col).cast(pa.int64()).combine_chunks())
+                if offset_col is not None else None
+            )
             # hash-pin via the batch's UNIQUE ids only (dictionary-encode →
             # LUT), then split with vectorized masks — no per-row dict/append
             d = id_col.dictionary_encode()
@@ -188,13 +232,20 @@ def streaming_lag_sessionize(
             lut = np.fromiter((md5_u64(u) % self.n for u in uniq),
                               dtype=np.int64, count=len(uniq))
             row_actor = lut[np.asarray(d.indices)]
-            ids = id_col.to_pylist()
             refs = []
             for a in np.unique(row_actor):
                 sel = np.flatnonzero(row_actor == a)
-                rows = [(ids[i], int(ts[i]), float(vs[i])) for i in sel]
+                take = pa.array(sel, pa.int64())
+                sub_ids = id_col.take(take)
+                sub_ts, sub_vs = ts[sel], vs[sel]
+                memo_key = _batch_memo_key(
+                    sub_ids, sub_ts, sub_vs,
+                    offsets=offs[sel] if offs is not None else None,
+                )
+                # array handoff: Arrow string array + numpy columns, never
+                # per-row Python tuples
                 refs.append(self.handles[int(a)].ingest.remote(
-                    rows, hashlib.md5(repr(rows).encode()).hexdigest()
+                    sub_ids, sub_ts, sub_vs, memo_key
                 ))
             emitted: list = []
             for r in ray.get(refs):

@@ -56,6 +56,14 @@ def test_streaming_matches_batch_with_lateness(fixture_events):
     assert (g.session_id.values == want.session_id.values).all()
 
 
+def _args(rows):
+    """(id, ts, v) tuples → the array-handoff ingest arguments."""
+    ids = [r[0] for r in rows]
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    vs = np.array([r[2] for r in rows], dtype=np.float64)
+    return ids, ts, vs
+
+
 def test_ingest_is_idempotent_and_memo_bounded(ray_session):
     """A replayed (batch, key) — a Ray task retry — must return the memoized
     emission without touching state, and the memo must stay bounded."""
@@ -63,8 +71,8 @@ def test_ingest_is_idempotent_and_memo_bounded(ray_session):
 
     a = EntityStateActor.remote(allowed_lateness_us=0, seen_cap=2)
     rows = [("e1", 1_000_000, 1.0), ("e1", 2_000_000, 2.0)]
-    first = ray.get(a.ingest.remote(rows, "k1"))
-    replay = ray.get(a.ingest.remote(rows, "k1"))
+    first = ray.get(a.ingest.remote(*_args(rows), "k1"))
+    replay = ray.get(a.ingest.remote(*_args(rows), "k1"))
     assert repr(replay) == repr(first)  # memoized — not re-ingested (repr: NaN-safe)
     # re-ingesting WITHOUT the memo would count both rows late (ts <= wm);
     # the late counter must be untouched by the replay
@@ -72,9 +80,9 @@ def test_ingest_is_idempotent_and_memo_bounded(ray_session):
 
     # FIFO eviction at seen_cap=2: after two more keys, k1 is forgotten and
     # its (now stale) rows fall to the watermark instead of replaying
-    ray.get(a.ingest.remote([("e1", 3_000_000, 3.0)], "k2"))
-    ray.get(a.ingest.remote([("e1", 4_000_000, 4.0)], "k3"))
-    evicted = ray.get(a.ingest.remote(rows, "k1"))
+    ray.get(a.ingest.remote(*_args([("e1", 3_000_000, 3.0)]), "k2"))
+    ray.get(a.ingest.remote(*_args([("e1", 4_000_000, 4.0)]), "k3"))
+    evicted = ray.get(a.ingest.remote(*_args(rows), "k1"))
     assert evicted["late_dropped"] == 2  # state was consulted, not the memo
 
     # row-bounded memo: entries evict once total memoized rows exceed the
@@ -83,12 +91,35 @@ def test_ingest_is_idempotent_and_memo_bounded(ray_session):
                                 seen_rows_cap=3)
     r1 = [("e1", 1_000_000, 1.0), ("e1", 2_000_000, 2.0)]
     r2 = [("e1", 3_000_000, 3.0), ("e1", 4_000_000, 4.0)]
-    ray.get(b.ingest.remote(r1, "ka"))
-    ray.get(b.ingest.remote(r2, "kb"))  # 4 memoized rows > 3 → "ka" evicted
-    evicted_b = ray.get(b.ingest.remote(r1, "ka"))
+    ray.get(b.ingest.remote(*_args(r1), "ka"))
+    ray.get(b.ingest.remote(*_args(r2), "kb"))  # 4 memoized rows > 3 → "ka" evicted
+    evicted_b = ray.get(b.ingest.remote(*_args(r1), "ka"))
     assert evicted_b["late_dropped"] == 2  # state consulted, not the memo
-    replay_b = ray.get(b.ingest.remote(r2, "kb"))  # newest entry kept
+    replay_b = ray.get(b.ingest.remote(*_args(r2), "kb"))  # newest entry kept
     assert replay_b["late_dropped"] == 0  # memo hit — untouched by eviction
+
+
+def test_memo_key_offsets_distinguish_identical_payloads():
+    """Content keys treat byte-identical batches as retries; offset keys
+    treat them as distinct deliveries (advice: true duplicates must hit the
+    watermark path when the source provides delivery offsets)."""
+    from ecg_feature_engineering_ray.stages.streaming import _batch_memo_key
+
+    ids = pa.array(["e1", "e1"], pa.string())
+    ts = np.array([1_000_000, 2_000_000], dtype=np.int64)
+    vs = np.array([1.0, 2.0], dtype=np.float64)
+
+    # content keying: identical arrays → identical key (retry-stable)
+    assert _batch_memo_key(ids, ts, vs) == _batch_memo_key(ids, ts, vs)
+    # any field differing → different key
+    assert _batch_memo_key(ids, ts, vs) != _batch_memo_key(ids, ts, vs + 1.0)
+
+    # offset keying: same payload, different offsets → DIFFERENT keys;
+    # same offsets (a retry) → same key
+    o1 = np.array([10, 11], dtype=np.int64)
+    o2 = np.array([12, 13], dtype=np.int64)
+    assert _batch_memo_key(ids, ts, vs, offsets=o1) == _batch_memo_key(ids, ts, vs, offsets=o1)
+    assert _batch_memo_key(ids, ts, vs, offsets=o1) != _batch_memo_key(ids, ts, vs, offsets=o2)
 
 
 def test_streaming_zero_lateness_drops_late_rows(fixture_events):

@@ -128,6 +128,36 @@ def test_lance_write_seam(tmp_path, monkeypatch):
     assert calls["rows"] == 3 and calls["path"] == out2 + ".tmp" and calls["mode"] == "create"
 
 
+def test_lance_real_roundtrip(tmp_path, monkeypatch):
+    """REAL lance integration (skipped while the package is absent in this
+    container): commit_partition writes a .lance fragment directory and
+    read_output reads it back byte-equal.  Exists so the real path lights up
+    the moment the dependency is installable — the seam test above only
+    checks dispatch."""
+    import pytest
+
+    pytest.importorskip("lance")
+
+    import pyarrow as pa
+
+    from ecg_feature_engineering_ray.state import checkpoint as cp
+
+    monkeypatch.setattr(cp, "HAVE_LANCE", True)
+    tbl = pa.table({
+        "image_id": pa.array(["a", "b", "c"], pa.string()),
+        "v": pa.array([1.5, 2.5, 3.5], pa.float64()),
+    })
+    man = cp.commit_partition(str(tmp_path), 0, tbl, ["frag-0"], 123, 0.0)
+    assert man["rows"] == 3
+    got = cp.read_output(str(tmp_path))
+    assert got.sort_by("image_id").equals(tbl.sort_by("image_id"))
+    # resume sees the committed bucket
+    assert cp.completed_buckets(str(tmp_path)) == {0}
+    # idempotent replay returns the existing manifest without rewriting
+    again = cp.commit_partition(str(tmp_path), 0, tbl, ["frag-0"], 123, 0.0)
+    assert again == man
+
+
 def test_entity_counts_space_saving(ray_session):
     """Bounded-memory entity counts: heavy keys exact-or-overestimated,
     cap respected, light tail evicted safely."""
