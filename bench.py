@@ -37,9 +37,18 @@ PROFILE = os.environ.get("GRAFT_BENCH_PROFILE", "default")
 # compute_bucket_plan semantics, like _FIXTURE_SCHEMA_V does for fixtures)
 _PLAN_V = 2
 # fixed-size decode pool: autoscaling from min=2 serialized the pipeline;
-# capped at NUM_CPUS-1 so reads/shuffle tasks always have a slot (a pool
-# equal to the whole CPU budget starves every other operator)
-DEC_ACTORS = min(max(2, int(NUM_CPUS * 0.75)), max(1, NUM_CPUS - 1))
+# 0.75×CPUs leaves slots for the reads that feed the pool.  The right size
+# is WORKLOAD-DEPENDENT (measured, BASELINE.md round 4): at the default
+# fixture total decode CPU is only ~30 s, so a 30-actor pool is ramp-up-
+# dominated and starves reads (decode wall 4.9 → 8.7 s vs 24 actors, 6/6
+# repeats), while at the 10× fixture decode is ~70 % of flagship wall and
+# 30 actors win by ~10 % calib-normalized (37.9 → 29.9 s).  Default stays
+# 0.75×CPUs; size per-workload with GRAFT_DECODE_ACTORS (the 10× row in
+# BASELINE.md uses 30).
+DEC_ACTORS = int(os.environ.get(
+    "GRAFT_DECODE_ACTORS",
+    min(max(2, int(NUM_CPUS * 0.75)), max(1, NUM_CPUS - 1)),
+))
 
 PROFILES = {
     "default": {

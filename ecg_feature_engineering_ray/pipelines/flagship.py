@@ -293,6 +293,7 @@ def pit_features_checkpointed(
     detect_skew: bool = True,
     bucket_plan: dict | None = None,
     sampen_max_n: int = 400,
+    decode_concurrency: int | tuple[int, int] = (2, 8),
 ) -> list[dict]:
     """Same pipeline with a resumable per-partition sink.
 
@@ -342,7 +343,9 @@ def pit_features_checkpointed(
         save_run_config(out_dir, num_buckets, hot, fragments, plan=plan, salt=salt)
 
     events = read_events(events_dir)
-    decoded = decode_stage(events, verify_roundtrip=False).select_columns(
+    decoded = decode_stage(
+        events, concurrency=decode_concurrency, verify_roundtrip=False
+    ).select_columns(
         ["image_id", "ts", "v"]
     ).materialize()  # staged decode phase — see pit_features
     left = ray.data.read_parquet(queries_path)
