@@ -77,6 +77,16 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+def _channel_sums(pixels: np.ndarray) -> tuple[int, int, int]:
+    """Exact per-channel int sums via three strided slice reductions — ~8×
+    faster than ``mean(axis=(0,1))`` (strided pairwise-float reduce) for the
+    same exact integers (uint8 sums fit int64)."""
+    f = pixels.reshape(-1, 3)
+    return (int(f[:, 0].sum(dtype=np.int64)),
+            int(f[:, 1].sum(dtype=np.int64)),
+            int(f[:, 2].sum(dtype=np.int64)))
+
+
 def mean_luminance(pixels: np.ndarray) -> float:
     """Derived scalar channel v = mean(pixels)/255 — the stand-in 'signal value'
     every reference statistic replays over (FIXTURES.md F1)."""
@@ -87,16 +97,39 @@ def channel_means(pixels: np.ndarray) -> tuple[float, float, float]:
     """Per-channel derived scalars (R, G, B mean / 255) — the multi-channel
     analog of the reference's 12 per-lead signals (extract_LONG.py:46-51):
     each channel is an independent series every v-based statistic replays
-    over.  Exact: uint8 sums are integers in float64."""
-    m = pixels.mean(axis=(0, 1), dtype=np.float64) / 255.0
-    return float(m[0]), float(m[1]), float(m[2])
+    over.  Exact: uint8 sums are integers in float64, and the division
+    sequence (S/(h·w), then /255) matches the previous float-mean form
+    BITWISE (test_codec has the identity gate)."""
+    n = pixels.shape[0] * pixels.shape[1]
+    s = _channel_sums(pixels)
+    return float(s[0] / n / 255.0), float(s[1] / n / 255.0), float(s[2] / n / 255.0)
+
+
+def derive_scalars(pixels: np.ndarray) -> tuple[float, float, float, float]:
+    """(v, v_r, v_g, v_b) in ONE integer pass — the decode stage's hot
+    kernel (previously two strided float-mean passes per image).  Bitwise
+    equal to ``(mean_luminance(px), *channel_means(px))``: all sums are
+    exact integers in float64 and the division sequences are identical."""
+    n = pixels.shape[0] * pixels.shape[1]
+    s0, s1, s2 = _channel_sums(pixels)
+    return (
+        float((s0 + s1 + s2) / (n * 3) / 255.0),
+        float(s0 / n / 255.0),
+        float(s1 / n / 255.0),
+        float(s2 / n / 255.0),
+    )
 
 
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual-hash stand-in: 8×8 mean-threshold bitmap of the
-    downsampled grayscale image (aHash — public algorithm)."""
-    g = pixels.mean(axis=2, dtype=np.float64)  # no full-image f64 copy
-    h, w = g.shape
+    downsampled grayscale image (aHash — public algorithm).
+
+    The grayscale plane is built as (R+G+B in uint16)/3.0 — bitwise equal to
+    ``mean(axis=2, dtype=f64)`` (3-element sums are exact in both) at ~5×
+    the speed; the block means stay on the float64 path so the hash value is
+    unchanged vs every stored fixture phash."""
+    h, w, _ = pixels.shape
+    g = (pixels[:, :, 0].astype(np.uint16) + pixels[:, :, 1] + pixels[:, :, 2]) / 3.0
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     g = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (g > g.mean()).astype(np.uint64).ravel()

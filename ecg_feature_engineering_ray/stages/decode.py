@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from ..functions.codec import channel_means, decode_image, encode_image, mean_luminance, phash64, psnr
+from ..functions.codec import decode_image, derive_scalars, encode_image, phash64, psnr
 from ..functions.text import hamming64
 
 PSNR_MIN_DB = 40.0
@@ -69,8 +69,7 @@ class DecodeValidate:
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             try:
                 px, dec_fmt = decode_image(blob)
-                v[i] = mean_luminance(px)
-                vr[i], vg[i], vb[i] = channel_means(px)
+                v[i], vr[i], vg[i], vb[i] = derive_scalars(px)
                 if not self.verify_roundtrip:
                     ok[i] = dec_fmt == fmt
                 elif fmt == "png":
