@@ -70,6 +70,19 @@ def char_ngrams(text: str, n: int = 5) -> set[str]:
     return {text[i : i + n] for i in range(len(text) - n + 1)}
 
 
+def token_ngrams(text: str, n: int = 3) -> set[str]:
+    """Word n-grams (space-joined) — the n-gram Jaccard dedup unit.
+
+    A doc with fewer than ``n`` tokens has NO grams (matches the SQL
+    positional self-join oracle, which produces zero rows for it), unlike
+    ``char_ngrams`` which falls back to the whole text.
+    """
+    toks = tokens(text)
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -1170,6 +1170,165 @@ def knn_topk(sf_dir: str, k: int = 5):
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
+def _distributed_jaccard_verify(
+    ds,
+    deduped,
+    gram_fn: Callable[[str], set],
+    threshold: float,
+    max_degree: int = 256,
+):
+    """Exact-Jaccard verification of a candidate-pair stream, fully distributed.
+
+    Shared tail of every near-dup query (MinHash-LSH, prefix-filter): the pair
+    stream stays a Dataset end to end; the driver's only artifact is a
+    fixed-size bloom bitmap of candidate doc ids.  Candidate texts are
+    bloom-filtered map-side out of the corpus scan (``ds`` = doc_id+text) and
+    hash-joined onto the exploded pair stream in one ``groupby(doc_id)``
+    exchange; each pair's texts then meet in a ``groupby(pair)`` where
+    ``T.jaccard(gram_fn(a), gram_fn(b)) >= threshold`` decides survival.
+    ``max_degree`` caps per-doc pair fan-out fail-loud (O(clique²) text
+    replication means degenerate candidate generation, not work to do).
+    """
+    # wants stream: one (doc_id, pair_key) row per pair SIDE — all-Arrow
+    def explode_pair(batch: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_a"), pa.string()),
+            pc.cast(batch.column("doc_b"), pa.string()),
+            "|",
+        )
+        return pa.concat_tables([
+            pa.table({"doc_id": batch.column("doc_a"), "pair": pk}),
+            pa.table({"doc_id": batch.column("doc_b"), "pair": pk}),
+        ])
+
+    wants = deduped.map_batches(explode_pair, batch_format="pyarrow", zero_copy_batch=True)
+
+    # Candidate-doc membership as a FIXED-SIZE bloom bitmap (1 MiB regardless
+    # of pair count) built by a distributed OR-aggregate — the only thing
+    # that ever lands on the driver.  A false positive just ships one extra
+    # text into the join shuffle (dropped there); no false negatives.
+    from ray.data.aggregate import AggregateFn  # noqa: PLC0415
+
+    from ..functions.hashing import splitmix64  # noqa: PLC0415
+
+    BLOOM_BITS = np.uint64(1 << 23)
+    BLOOM_K = 4
+
+    def _bloom_pos(ids: np.ndarray) -> np.ndarray:
+        """(n, K) bit positions via double hashing of int64 doc ids."""
+        u = ids.astype(np.uint64)
+        h1 = splitmix64(u)
+        h2 = splitmix64(u ^ np.uint64(0xA5A5A5A5DEADBEEF))
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + np.arange(BLOOM_K, dtype=np.uint64)[None, :] * h2[:, None]) % BLOOM_BITS
+
+    def _bloom_acc(bitmap: np.ndarray, block: pa.Table) -> np.ndarray:
+        ids = np.asarray(block.column("doc_id").combine_chunks())
+        if ids.size:
+            pos = _bloom_pos(ids).ravel()
+            np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
+                             (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8))
+        return bitmap
+
+    agg_res = wants.aggregate(AggregateFn(
+        init=lambda k: np.zeros(int(BLOOM_BITS) // 8, np.uint8),
+        merge=np.bitwise_or,
+        accumulate_block=_bloom_acc,
+        name="bloom",
+    ))
+    bitmap = agg_res["bloom"] if isinstance(agg_res, dict) else agg_res
+    if bitmap is None:  # no candidate pairs anywhere
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    bloom_ref = ray.put(np.ascontiguousarray(bitmap))
+
+    def corpus_filter(batch: pa.Table) -> pa.Table:
+        """Map-side candidate filter: only (approx) candidate texts enter the
+        join exchange — non-candidate texts never leave their scan task."""
+        bm = ray.get(bloom_ref)
+        ids = np.asarray(batch.column("doc_id").combine_chunks())
+        if not ids.size:
+            return batch
+        pos = _bloom_pos(ids)
+        bit = (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8)
+        hit = ((bm[(pos >> np.uint64(3)).astype(np.int64)] & bit) == bit).all(axis=1)
+        return batch.filter(pa.array(hit))
+
+    cand = ds.map_batches(corpus_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    # co-partitioned hash join on doc_id: union the (tiny) wants rows with
+    # the (candidate-only) text rows, ONE groupby(doc_id) shuffle routes each
+    # text to exactly the pairs that need it.  Degree cap enforced HERE,
+    # distributed (fail loud, like max_bucket): a doc in a near-dup clique of
+    # m candidates has its text replicated m−1 times and its n-grams
+    # recomputed m−1 times — O(m²) bytes/CPU per clique.  Exact dedup runs
+    # FIRST in this engine, so degrees that high mean degenerate banding.
+    def tag_wants(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "pair": b.column("pair"),
+                         "text": pa.nulls(b.num_rows, pa.string())})
+
+    def tag_texts(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "pair": pa.nulls(b.num_rows, pa.string()),
+                         "text": b.column("text")})
+
+    unioned = wants.map_batches(tag_wants, batch_format="pyarrow", zero_copy_batch=True).union(
+        cand.map_batches(tag_texts, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_doc(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"pair": pd.Series(dtype="object"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "text": pd.Series(dtype="object")})
+        want_mask = group["pair"].notna()
+        pair_keys = group.loc[want_mask, "pair"]
+        if pair_keys.empty:  # bloom false positive — no pair wants this doc
+            return empty
+        if len(pair_keys) > max_degree:
+            raise ValueError(
+                f"near-dup candidate doc {group['doc_id'].iloc[0]} participates "
+                f"in {len(pair_keys)} pairs > max_degree={max_degree}: run exact "
+                "dedup first or raise num_perm/bands — refusing O(clique²) "
+                "text replication"
+            )
+        texts = group.loc[~want_mask, "text"]
+        if texts.empty:
+            # the wants side was derived from the same corpus scan that
+            # produced the candidates — a missing text is a routing defect
+            # (id type drift, missed fragment), never a legitimate outcome
+            raise KeyError(
+                f"near-dup doc {group['doc_id'].iloc[0]}: text missing — routing defect"
+            )
+        return pd.DataFrame({"pair": pair_keys.to_numpy(),
+                             "doc_id": group["doc_id"].iloc[0],
+                             "text": texts.iloc[0]})
+
+    routed = unioned.groupby("doc_id").map_groups(join_doc, batch_format="pandas")
+
+    def verify_pair(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        a_s, b_s = group["pair"].iloc[0].split("|")
+        a, b = int(a_s), int(b_s)
+        tx = dict(zip(group["doc_id"], group["text"]))
+        if a not in tx or b not in tx:
+            raise KeyError(
+                f"near-dup pair {a}|{b}: text missing for "
+                f"{[d for d in (a, b) if d not in tx]} — routing defect"
+            )
+        j = T.jaccard(gram_fn(tx[a]), gram_fn(tx[b]))
+        if j < threshold:
+            return empty
+        return pd.DataFrame({"doc_a": [a], "doc_b": [b],
+                             "jaccard": rnd(np.array([j], dtype=np.float64))})
+
+    return routed.groupby("pair").map_groups(verify_pair, batch_format="pandas")
+
+
 @register(
     "near_dup_pairs",
     """
@@ -1281,146 +1440,112 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
         lambda g: g.head(1), batch_format="pandas"
     ).materialize()
 
-    # wants stream: one (doc_id, pair_key) row per pair SIDE — all-Arrow
-    def explode_pair(batch: pa.Table) -> pa.Table:
-        pk = pc.binary_join_element_wise(
-            pc.cast(batch.column("doc_a"), pa.string()),
-            pc.cast(batch.column("doc_b"), pa.string()),
-            "|",
-        )
-        return pa.concat_tables([
-            pa.table({"doc_id": batch.column("doc_a"), "pair": pk}),
-            pa.table({"doc_id": batch.column("doc_b"), "pair": pk}),
-        ])
+    return _distributed_jaccard_verify(ds, deduped, T.char_ngrams, 0.5)
 
-    wants = deduped.map_batches(explode_pair, batch_format="pyarrow", zero_copy_batch=True)
 
-    # Candidate-doc membership as a FIXED-SIZE bloom bitmap (1 MiB regardless
-    # of pair count) built by a distributed OR-aggregate — the only thing
-    # that ever lands on the driver.  A false positive just ships one extra
-    # text into the join shuffle (dropped there); no false negatives.
-    from ray.data.aggregate import AggregateFn  # noqa: PLC0415
-
-    from ..functions.hashing import splitmix64  # noqa: PLC0415
-
-    BLOOM_BITS = np.uint64(1 << 23)
-    BLOOM_K = 4
-
-    def _bloom_pos(ids: np.ndarray) -> np.ndarray:
-        """(n, K) bit positions via double hashing of int64 doc ids."""
-        u = ids.astype(np.uint64)
-        h1 = splitmix64(u)
-        h2 = splitmix64(u ^ np.uint64(0xA5A5A5A5DEADBEEF))
-        with np.errstate(over="ignore"):
-            return (h1[:, None] + np.arange(BLOOM_K, dtype=np.uint64)[None, :] * h2[:, None]) % BLOOM_BITS
-
-    def _bloom_acc(bitmap: np.ndarray, block: pa.Table) -> np.ndarray:
-        ids = np.asarray(block.column("doc_id").combine_chunks())
-        if ids.size:
-            pos = _bloom_pos(ids).ravel()
-            np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
-                             (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8))
-        return bitmap
-
-    agg_res = wants.aggregate(AggregateFn(
-        init=lambda k: np.zeros(int(BLOOM_BITS) // 8, np.uint8),
-        merge=np.bitwise_or,
-        accumulate_block=_bloom_acc,
-        name="bloom",
-    ))
-    bitmap = agg_res["bloom"] if isinstance(agg_res, dict) else agg_res
-    if bitmap is None:  # no candidate pairs anywhere
-        return ray.data.from_arrow(
-            pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-        )
-    bloom_ref = ray.put(np.ascontiguousarray(bitmap))
-
-    def corpus_filter(batch: pa.Table) -> pa.Table:
-        """Map-side candidate filter: only (approx) candidate texts enter the
-        join exchange — non-candidate texts never leave their scan task."""
-        bm = ray.get(bloom_ref)
-        ids = np.asarray(batch.column("doc_id").combine_chunks())
-        if not ids.size:
-            return batch
-        pos = _bloom_pos(ids)
-        bit = (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8)
-        hit = ((bm[(pos >> np.uint64(3)).astype(np.int64)] & bit) == bit).all(axis=1)
-        return batch.filter(pa.array(hit))
-
-    cand = ds.map_batches(corpus_filter, batch_format="pyarrow", zero_copy_batch=True)
-
-    # co-partitioned hash join on doc_id: union the (tiny) wants rows with
-    # the (candidate-only) text rows, ONE groupby(doc_id) shuffle routes each
-    # text to exactly the pairs that need it.  Degree cap enforced HERE,
-    # distributed (fail loud, like max_bucket): a doc in a near-dup clique of
-    # m candidates has its text replicated m−1 times and its n-grams
-    # recomputed m−1 times — O(m²) bytes/CPU per clique.  Exact dedup runs
-    # FIRST in this engine, so degrees that high mean degenerate banding.
-    max_degree = 256
-
-    def tag_wants(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b.column("doc_id"), "pair": b.column("pair"),
-                         "text": pa.nulls(b.num_rows, pa.string())})
-
-    def tag_texts(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b.column("doc_id"),
-                         "pair": pa.nulls(b.num_rows, pa.string()),
-                         "text": b.column("text")})
-
-    unioned = wants.map_batches(tag_wants, batch_format="pyarrow", zero_copy_batch=True).union(
-        cand.map_batches(tag_texts, batch_format="pyarrow", zero_copy_batch=True)
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS i FROM arr
+    ),
+    g AS (
+      SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS gram
+      FROM tok t1
+      JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+      JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+    ),
+    gc AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS ni
+      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      GROUP BY 1, 2
     )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 6) AS jaccard
+    FROM inter i
+    JOIN gc ca ON ca.doc_id = i.doc_a
+    JOIN gc cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 3.0 / 5.0
+    """,
+)
+def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_bucket: int = 4096):
+    """Token-3-gram Jaccard near-dup pairs via PREFIX FILTERING (AllPairs/
+    PPJoin lemma), verified by exact Jaccard — the n-gram-Jaccard dedup
+    variant, with a provably candidate-complete blocking step instead of the
+    probabilistic MinHash banding of ``near_dup_pairs``.
 
-    def join_doc(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"pair": pd.Series(dtype="object"),
-                              "doc_id": pd.Series(dtype="int64"),
-                              "text": pd.Series(dtype="object")})
-        want_mask = group["pair"].notna()
-        pair_keys = group.loc[want_mask, "pair"]
-        if pair_keys.empty:  # bloom false positive — no pair wants this doc
-            return empty
-        if len(pair_keys) > max_degree:
+    Per doc: the distinct word-trigram set, totally ordered by md5 — a
+    CANONICAL global order needs no global statistics, so blocking costs
+    zero extra shuffles (frequency order is the classical efficiency
+    heuristic, not a correctness requirement).  For threshold τ = tau_num/
+    tau_den, any pair with J(A,B) ≥ τ has overlap ≥ ⌈τ·max(|A|,|B|)⌉, so by
+    pigeonhole the first |X| − ⌈τ·|X|⌉ + 1 grams of each side must share an
+    element: emitting only those PREFIX grams into the ``groupby(gram)``
+    exchange yields a candidate superset with no false negatives.  ⌈τ·n⌉ is
+    computed in INTEGER arithmetic (float ⌈0.6·5⌉ = ⌈3.0000000000000004⌉ = 4
+    would silently shorten the prefix and drop true pairs).  The shuffle
+    carries (16-hex-char gram-hash, doc_id) only — never text; an md5
+    collision merges buckets, which only ADDS candidates for the verifier to
+    reject.  Buckets above ``max_bucket`` fail loudly (a stop-phrase trigram
+    shared by everything means the gram unit is wrong for the corpus, not
+    that O(n²) pairing should proceed).  Verification reuses the distributed
+    bloom-route-verify tail shared with ``near_dup_pairs``.
+
+    Reference analog: the exact-duplicate scan at
+    /root/reference/xgboost_clf.py:128, generalized to corpus-scale
+    similarity dedup per SURVEY.md §2 O7.
+    """
+    from ..functions.hashing import md5_hex  # noqa: PLC0415
+
+    threshold = tau_num / tau_den
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prefix_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_g: list[str] = []
+        out_id: list[int] = []
+        for did, t in zip(ids, texts):
+            grams = T.token_ngrams(t, 3)
+            n = len(grams)
+            if n == 0:
+                continue
+            keys = sorted(md5_hex(g)[:16] for g in grams)
+            p = n - (tau_num * n + tau_den - 1) // tau_den + 1
+            out_g.extend(keys[:p])
+            out_id.extend([did] * p)
+        return pa.table(
+            {
+                "gram": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    prefixes = ds.map_batches(prefix_emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        if len(group) > max_bucket:
             raise ValueError(
-                f"near-dup candidate doc {group['doc_id'].iloc[0]} participates "
-                f"in {len(pair_keys)} pairs > max_degree={max_degree}: run exact "
-                "dedup first or raise num_perm/bands — refusing O(clique²) "
-                "text replication"
+                f"prefix-gram bucket of {len(group)} docs > max_bucket={max_bucket}: "
+                "trigram blocking degenerate for this corpus — use a larger gram "
+                "unit or frequency-ordered prefixes"
             )
-        texts = group.loc[~want_mask, "text"]
-        if texts.empty:
-            # the wants side was derived from the same corpus scan that
-            # produced the candidates — a missing text is a routing defect
-            # (id type drift, missed fragment), never a legitimate outcome
-            raise KeyError(
-                f"near-dup doc {group['doc_id'].iloc[0]}: text missing — routing defect"
-            )
-        return pd.DataFrame({"pair": pair_keys.to_numpy(),
-                             "doc_id": group["doc_id"].iloc[0],
-                             "text": texts.iloc[0]})
+        d = np.sort(group["doc_id"].to_numpy())
+        ia, ib = np.triu_indices(d.size, k=1)
+        return pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
 
-    routed = unioned.groupby("doc_id").map_groups(join_doc, batch_format="pandas")
-
-    def verify_pair(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                              "doc_b": pd.Series(dtype="int64"),
-                              "jaccard": pd.Series(dtype="float64")})
-        a_s, b_s = group["pair"].iloc[0].split("|")
-        a, b = int(a_s), int(b_s)
-        tx = dict(zip(group["doc_id"], group["text"]))
-        if a not in tx or b not in tx:
-            raise KeyError(
-                f"near-dup pair {a}|{b}: text missing for "
-                f"{[d for d in (a, b) if d not in tx]} — routing defect"
-            )
-        j = T.jaccard(T.char_ngrams(tx[a]), T.char_ngrams(tx[b]))
-        if j < 0.5:
-            return empty
-        return pd.DataFrame({"doc_a": [a], "doc_b": [b],
-                             "jaccard": rnd(np.array([j], dtype=np.float64))})
-
-    return routed.groupby("pair").map_groups(verify_pair, batch_format="pandas")
+    pairs = prefixes.groupby("gram").map_groups(bucket_pairs, batch_format="pandas")
+    deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    ).materialize()
+    return _distributed_jaccard_verify(ds, deduped, T.token_ngrams, threshold)
 
 
 # ---------------------------------------------------------------------------

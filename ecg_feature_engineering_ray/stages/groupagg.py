@@ -146,5 +146,8 @@ def global_agg(ds: Dataset, specs: dict[str, tuple[str, str]]) -> pa.Table:
         zero_copy_batch=True,
     )
     out = grouped_agg(tagged, ["__g"], specs)
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    import ray  # noqa: PLC0415
+
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts).combine_chunks()
     return tbl.drop_columns(["__g"])
