@@ -1170,6 +1170,51 @@ def knn_topk(sf_dir: str, k: int = 5):
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
+def _bucketed_candidate_pairs(emitted, key: str, max_bucket: int, advice: str):
+    """Vectorized candidate-pair expansion for blocking-key near-dup scans.
+
+    ``emitted`` is a (doc_id, key) stream — one row per (doc, blocking key).
+    A corpus emits millions of MOSTLY-SINGLETON blocking keys (prefix grams,
+    LSH bands), so ``groupby(key).map_groups`` pays a per-key pandas-group
+    dispatch that dwarfs the pairing arithmetic.  Instead: ONE hash-bucket
+    shuffle on ``key`` (the ``grouped_sorted_apply`` spine, NB buckets), then
+    per bucket the segment boundaries come from :func:`entity_segments`
+    (dictionary-encode diff — no per-row Python) and each multi-doc segment
+    expands via ``np.triu_indices``.  Keys above ``max_bucket`` docs fail
+    loudly (same contract as before: a degenerate blocking key means the
+    blocking config is wrong for the corpus, not that O(n²) pairing should
+    quietly proceed)."""
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, key)
+        sizes = ends - starts
+        if sizes.size and int(sizes.max()) > max_bucket:
+            raise ValueError(
+                f"candidate bucket of {int(sizes.max())} docs > max_bucket="
+                f"{max_bucket}: {advice}"
+            )
+        ids = np.asarray(tbl.column("doc_id").combine_chunks())
+        keep = sizes >= 2
+        out_a, out_b = [], []
+        for s, e in zip(starts[keep], ends[keep]):
+            d = np.sort(ids[s:e])
+            ia, ib = np.triu_indices(int(e - s), k=1)
+            out_a.append(d[ia])
+            out_b.append(d[ib])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"doc_a": pa.array(a.astype(np.int64, copy=False)),
+                         "doc_b": pa.array(b.astype(np.int64, copy=False))})
+
+    return grouped_sorted_apply(emitted, key, [], per_bucket, NB)
+
+
+def _dedup_pairs(pairs):
+    """Distinct (doc_a, doc_b) via Ray's native hash-aggregate count —
+    vectorized, versus a per-pair pandas ``map_groups(head(1))``."""
+    return pairs.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
+
+
 def _distributed_jaccard_verify(
     ds,
     deduped,
@@ -1416,29 +1461,16 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
         )
 
     banded = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        if len(group) > max_bucket:
-            raise ValueError(
-                f"near-dup LSH bucket of {len(group)} docs > max_bucket={max_bucket}: "
-                "band signature too short for corpus — raise num_perm/bands"
-            )
-        d = np.sort(group["doc_id"].to_numpy())
-        ia, ib = np.triu_indices(d.size, k=1)
-        return pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
-
-    pairs = banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _bucketed_candidate_pairs(
+        banded, "band", max_bucket,
+        "band signature too short for corpus — raise num_perm/bands",
+    )
     # pair IDS only (16 B/row) as DISTRIBUTED blocks — the driver never holds
     # the pair list (a dup-heavy 100-TB crawl yields O(10⁸) candidate pairs).
     # materialize() pins the deduped stream in the object store so the two
     # consumers below (bloom aggregate + routing union) don't re-run the
     # minhash lineage over the corpus.
-    deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    ).materialize()
+    deduped = _dedup_pairs(pairs).materialize()
 
     return _distributed_jaccard_verify(ds, deduped, T.char_ngrams, 0.5)
 
@@ -1526,25 +1558,12 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_buc
         )
 
     prefixes = ds.map_batches(prefix_emit, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        if len(group) > max_bucket:
-            raise ValueError(
-                f"prefix-gram bucket of {len(group)} docs > max_bucket={max_bucket}: "
-                "trigram blocking degenerate for this corpus — use a larger gram "
-                "unit or frequency-ordered prefixes"
-            )
-        d = np.sort(group["doc_id"].to_numpy())
-        ia, ib = np.triu_indices(d.size, k=1)
-        return pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
-
-    pairs = prefixes.groupby("gram").map_groups(bucket_pairs, batch_format="pandas")
-    deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    ).materialize()
+    pairs = _bucketed_candidate_pairs(
+        prefixes, "gram", max_bucket,
+        "trigram blocking degenerate for this corpus — use a larger gram "
+        "unit or frequency-ordered prefixes",
+    )
+    deduped = _dedup_pairs(pairs).materialize()
     return _distributed_jaccard_verify(ds, deduped, T.token_ngrams, threshold)
 
 
@@ -2968,50 +2987,63 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 4096)
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_pylist()
-        out_id, out_band, out_key, out_sh = [], [], [], []
+        out_id, out_bkey, out_sh = [], [], []
         for did, t in zip(ids, texts):
             sh = T.simhash64(t)
             u = sh & ((1 << 64) - 1)
             for b in range(4):
+                # injective (band, 16-bit key) → one int64 blocking key, so
+                # the pair expansion rides the shared single-key bucket spine
                 out_id.append(did)
-                out_band.append(b)
-                out_key.append((u >> (16 * b)) & 0xFFFF)
+                out_bkey.append((b << 16) | ((u >> (16 * b)) & 0xFFFF))
                 out_sh.append(sh)
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "band": pa.array(out_band, pa.int64()),
-                         "key": pa.array(out_key, pa.int64()),
+                         "bkey": pa.array(out_bkey, pa.int64()),
                          "simhash": pa.array(out_sh, pa.int64())})
 
     banded = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                              "doc_b": pd.Series(dtype="int64"),
-                              "hamming": pd.Series(dtype="int64")})
-        if len(group) < 2:
-            return empty
-        if len(group) > max_bucket:
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        # tbl sorted by bkey (then doc_id): vectorized per-segment hamming
+        starts, ends = entity_segments(tbl, "bkey")
+        sizes = ends - starts
+        if sizes.size and int(sizes.max()) > max_bucket:
             raise ValueError(
-                f"simhash band bucket of {len(group)} docs > max_bucket={max_bucket}: "
+                f"simhash band bucket of {int(sizes.max())} docs > max_bucket={max_bucket}: "
                 "degenerate band key (boilerplate/empty docs?) — re-band or pre-filter"
             )
-        g = group.sort_values("doc_id").reset_index(drop=True)
-        ids = g.doc_id.to_numpy()
-        sh = g.simhash.to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(g), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.zeros(x.size, dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        m = ham <= 3
-        return pd.DataFrame({"doc_a": ids[ia[m]].astype(np.int64),
-                             "doc_b": ids[ib[m]].astype(np.int64),
-                             "hamming": ham[m]})
+        ids = np.asarray(tbl.column("doc_id").combine_chunks())
+        sh = np.asarray(tbl.column("simhash").combine_chunks()).astype(np.uint64)
+        keep = sizes >= 2
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts[keep], ends[keep]):
+            order = np.argsort(ids[s:e], kind="stable") + s
+            ia, ib = np.triu_indices(int(e - s), k=1)
+            x = sh[order[ia]] ^ sh[order[ib]]
+            ham = np.zeros(x.size, dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            m = ham <= max_hamming
+            out_a.append(ids[order[ia[m]]].astype(np.int64))
+            out_b.append(ids[order[ib[m]]].astype(np.int64))
+            out_h.append(ham[m])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                         "hamming": pa.array(h)})
 
-    pairs = banded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = grouped_sorted_apply(banded, "bkey", ["doc_id"], per_bucket, NB)
+    # cross-band dedup: hamming is a pure function of the two simhashes, so
+    # min() over a pair's band copies IS the pair's hamming — native
+    # hash-aggregate, no per-pair pandas groups
+    out = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["hamming" if c == "min(hamming)" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
