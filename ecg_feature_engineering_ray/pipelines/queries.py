@@ -1324,54 +1324,89 @@ def _distributed_jaccard_verify(
         cand.map_batches(tag_texts, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def join_doc(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"pair": pd.Series(dtype="object"),
-                              "doc_id": pd.Series(dtype="int64"),
-                              "text": pd.Series(dtype="object")})
-        want_mask = group["pair"].notna()
-        pair_keys = group.loc[want_mask, "pair"]
-        if pair_keys.empty:  # bloom false positive — no pair wants this doc
+    # Route each candidate text to the pairs that want it — bucket spine, not
+    # per-doc pandas groups (10⁸ candidate pairs ⇒ 10⁷+ doc groups at crawl
+    # scale).  Sorted by (doc_id, pair) with Arrow's nulls-at-end, every doc
+    # segment is [want rows..., text rows...], so routing is pure index
+    # arithmetic: reduceat want-counts, grouped-arange take, repeat of the
+    # segment-final text row.
+    def route_texts(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        if tbl.num_rows == 0:
             return empty
-        if len(pair_keys) > max_degree:
+        starts, ends = entity_segments(tbl, "doc_id")
+        pair_col = tbl.column("pair").combine_chunks()
+        is_want = np.asarray(pc.is_valid(pair_col)).astype(np.int64)
+        ids = np.asarray(tbl.column("doc_id").combine_chunks())
+        w = np.add.reduceat(is_want, starts)
+        t = (ends - starts) - w
+        if int(w.max()) > max_degree:
+            i = int(np.argmax(w))
             raise ValueError(
-                f"near-dup candidate doc {group['doc_id'].iloc[0]} participates "
-                f"in {len(pair_keys)} pairs > max_degree={max_degree}: run exact "
+                f"near-dup candidate doc {int(ids[starts[i]])} participates "
+                f"in {int(w[i])} pairs > max_degree={max_degree}: run exact "
                 "dedup first or raise num_perm/bands — refusing O(clique²) "
                 "text replication"
             )
-        texts = group.loc[~want_mask, "text"]
-        if texts.empty:
+        bad = (w > 0) & (t == 0)
+        if bad.any():
             # the wants side was derived from the same corpus scan that
             # produced the candidates — a missing text is a routing defect
             # (id type drift, missed fragment), never a legitimate outcome
+            i = int(np.argmax(bad))
             raise KeyError(
-                f"near-dup doc {group['doc_id'].iloc[0]}: text missing — routing defect"
+                f"near-dup doc {int(ids[starts[i]])}: text missing — routing defect"
             )
-        return pd.DataFrame({"pair": pair_keys.to_numpy(),
-                             "doc_id": group["doc_id"].iloc[0],
-                             "text": texts.iloc[0]})
-
-    routed = unioned.groupby("doc_id").map_groups(join_doc, batch_format="pandas")
-
-    def verify_pair(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                              "doc_b": pd.Series(dtype="int64"),
-                              "jaccard": pd.Series(dtype="float64")})
-        a_s, b_s = group["pair"].iloc[0].split("|")
-        a, b = int(a_s), int(b_s)
-        tx = dict(zip(group["doc_id"], group["text"]))
-        if a not in tx or b not in tx:
-            raise KeyError(
-                f"near-dup pair {a}|{b}: text missing for "
-                f"{[d for d in (a, b) if d not in tx]} — routing defect"
-            )
-        j = T.jaccard(gram_fn(tx[a]), gram_fn(tx[b]))
-        if j < threshold:
+        keep = (w > 0) & (t > 0)  # w == 0 is a bloom false positive: drop
+        if not keep.any():
             return empty
-        return pd.DataFrame({"doc_a": [a], "doc_b": [b],
-                             "jaccard": rnd(np.array([j], dtype=np.float64))})
+        wk, sk = w[keep], starts[keep]
+        total = int(wk.sum())
+        shift = np.concatenate(([0], np.cumsum(wk)[:-1]))
+        want_idx = np.repeat(sk, wk) + (np.arange(total) - np.repeat(shift, wk))
+        text_idx = np.repeat(ends[keep] - 1, wk)  # nulls-at-end ⇒ last row is text
+        return pa.table({
+            "pair": pc.take(pair_col, pa.array(want_idx)),
+            "doc_id": pc.take(tbl.column("doc_id").combine_chunks(), pa.array(want_idx)),
+            "text": pc.take(tbl.column("text").combine_chunks(), pa.array(text_idx)),
+        })
 
-    return routed.groupby("pair").map_groups(verify_pair, batch_format="pandas")
+    routed = grouped_sorted_apply(unioned, "doc_id", ["pair"], route_texts, NB)
+
+    # Exact-measure verify: sorted by (pair, doc_id), every pair segment is
+    # exactly its two doc rows; the per-segment loop is the inherent gram-set
+    # computation, not group dispatch.
+    def verify_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        starts, ends = entity_segments(tbl, "pair")
+        sizes = ends - starts
+        if (sizes != 2).any():
+            i = int(np.argmax(sizes != 2))
+            key = tbl.column("pair")[int(starts[i])].as_py()
+            raise KeyError(
+                f"near-dup pair {key}: {int(sizes[i])} routed rows (expected 2) "
+                "— routing defect"
+            )
+        ids = np.asarray(tbl.column("doc_id").combine_chunks())
+        texts = tbl.column("text").to_pylist()
+        j = np.fromiter(
+            (T.jaccard(gram_fn(texts[s]), gram_fn(texts[s + 1])) for s in starts),
+            dtype=np.float64, count=starts.size,
+        )
+        m = j >= threshold
+        return pa.table({
+            "doc_a": pa.array(ids[starts[m]].astype(np.int64)),
+            "doc_b": pa.array(ids[starts[m] + 1].astype(np.int64)),
+            "jaccard": pa.array(rnd(j[m])),
+        })
+
+    return grouped_sorted_apply(routed, "pair", ["doc_id"], verify_bucket, NB)
 
 
 @register(
