@@ -2186,34 +2186,56 @@ def embedding_near_dups(sf_dir: str, threshold: float = NEAR_DUP_COS,
 
     banded = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                              "vec_b": pd.Series(dtype="int64"),
-                              "cosine": pd.Series(dtype="float64")})
-        if len(group) < 2:
-            return empty
-        if len(group) > max_bucket:
-            raise ValueError(
-                f"near-dup LSH bucket of {len(group)} > max_bucket={max_bucket}: "
-                "signature too short for corpus size — raise n_bits"
-            )
-        g = group.sort_values("vec_id").reset_index(drop=True)
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in g.embedding])
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        sims = Vn @ Vn.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        m = sims[ia, ib] >= threshold
-        return pd.DataFrame({"vec_a": g.vec_id.values[ia[m]].astype(np.int64),
-                             "vec_b": g.vec_id.values[ib[m]].astype(np.int64),
-                             "cosine": rnd(sims[ia, ib][m])})
+    # in-bucket N² verify on the bucket spine: one shuffle per hash table,
+    # segments instead of per-key pandas groups (the scale path RAISES
+    # n_bits, i.e. the key count — group dispatch must not grow with it)
+    def verify_table(key: str):
+        def per_bucket(tbl: pa.Table) -> pa.Table:
+            empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                              "vec_b": pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            if tbl.num_rows == 0:
+                return empty
+            starts, ends = entity_segments(tbl, key)
+            sizes = ends - starts
+            if int(sizes.max()) > max_bucket:
+                raise ValueError(
+                    f"near-dup LSH bucket of {int(sizes.max())} > max_bucket={max_bucket}: "
+                    "signature too short for corpus size — raise n_bits"
+                )
+            ids = np.asarray(tbl.column("vec_id").combine_chunks())
+            V = _emb_matrix(tbl.column("embedding"))
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            keep = sizes >= 2
+            out_a, out_b, out_c = [], [], []
+            for s, e in zip(starts[keep], ends[keep]):
+                W = Vn[s:e]  # rows already sorted by vec_id within segment
+                sims = W @ W.T
+                ia, ib = np.triu_indices(int(e - s), k=1)
+                m = sims[ia, ib] >= threshold
+                out_a.append(ids[s:e][ia[m]].astype(np.int64))
+                out_b.append(ids[s:e][ib[m]].astype(np.int64))
+                out_c.append(sims[ia, ib][m])
+            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            c = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
+            return pa.table({"vec_a": pa.array(a), "vec_b": pa.array(b),
+                             "cosine": pa.array(rnd(c))})
 
-    p1 = banded.groupby("b1").map_groups(verify, batch_format="pandas")
-    p2 = banded.groupby("b2").map_groups(verify, batch_format="pandas")
+        return per_bucket
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    p1 = grouped_sorted_apply(banded, "b1", ["vec_id"], verify_table("b1"), NB)
+    p2 = grouped_sorted_apply(banded, "b2", ["vec_id"], verify_table("b2"), NB)
 
-    return p1.union(p2).groupby(["vec_a", "vec_b"]).map_groups(dedup, batch_format="pandas")
+    # cross-table dedup: cosine is a pure function of the pair, min() = the
+    # value — native hash-aggregate, no per-pair pandas groups
+    out = p1.union(p2).groupby(["vec_a", "vec_b"]).min("cosine")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["cosine" if c == "min(cosine)" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 _DENOISE_EXPECTED = "/tmp/efr_expected_denoised.parquet"
