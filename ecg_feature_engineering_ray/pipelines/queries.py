@@ -1170,7 +1170,13 @@ def knn_topk(sf_dir: str, k: int = 5):
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
-def _bucketed_candidate_pairs(emitted, key: str, max_bucket: int, advice: str):
+def _bucketed_candidate_pairs(
+    emitted,
+    key: str,
+    max_bucket: int,
+    advice: str,
+    size_ratio: tuple[int, int] | None = None,
+):
     """Vectorized candidate-pair expansion for blocking-key near-dup scans.
 
     ``emitted`` is a (doc_id, key) stream — one row per (doc, blocking key).
@@ -1183,7 +1189,14 @@ def _bucketed_candidate_pairs(emitted, key: str, max_bucket: int, advice: str):
     expands via ``np.triu_indices``.  Keys above ``max_bucket`` docs fail
     loudly (same contract as before: a degenerate blocking key means the
     blocking config is wrong for the corpus, not that O(n²) pairing should
-    quietly proceed)."""
+    quietly proceed).
+
+    ``size_ratio=(tau_num, tau_den)`` enables the AllPairs/PPJoin LENGTH
+    filter: ``emitted`` must then carry an ``n`` column (the doc's gram-set
+    size) and pairs with ``tau_den·min(n_a,n_b) < tau_num·max(n_a,n_b)`` are
+    pruned map-side — candidate-complete because J(A,B) ≥ τ forces
+    |A∩B| ≤ min ≤ max ≤ |A∪B| and hence min/max ≥ J ≥ τ (integer arithmetic,
+    same no-float-ceil discipline as the prefix length)."""
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         starts, ends = entity_segments(tbl, key)
@@ -1194,11 +1207,22 @@ def _bucketed_candidate_pairs(emitted, key: str, max_bucket: int, advice: str):
                 f"{max_bucket}: {advice}"
             )
         ids = np.asarray(tbl.column("doc_id").combine_chunks())
+        ns = (
+            np.asarray(tbl.column("n").combine_chunks())
+            if size_ratio is not None
+            else None
+        )
         keep = sizes >= 2
         out_a, out_b = [], []
         for s, e in zip(starts[keep], ends[keep]):
-            d = np.sort(ids[s:e])
+            order = np.argsort(ids[s:e], kind="stable")
+            d = ids[s:e][order]
             ia, ib = np.triu_indices(int(e - s), k=1)
+            if ns is not None:
+                na, nb = ns[s:e][order][ia], ns[s:e][order][ib]
+                tn, td = size_ratio
+                m = td * np.minimum(na, nb) >= tn * np.maximum(na, nb)
+                ia, ib = ia[m], ib[m]
             out_a.append(d[ia])
             out_b.append(d[ib])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
@@ -1554,7 +1578,12 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_buc
     element: emitting only those PREFIX grams into the ``groupby(gram)``
     exchange yields a candidate superset with no false negatives.  ⌈τ·n⌉ is
     computed in INTEGER arithmetic (float ⌈0.6·5⌉ = ⌈3.0000000000000004⌉ = 4
-    would silently shorten the prefix and drop true pairs).  The shuffle
+    would silently shorten the prefix and drop true pairs).  The AllPairs
+    LENGTH filter prunes candidates map-side in the pairing stage:
+    J(A,B) ≥ τ forces min(|A|,|B|)/max(|A|,|B|) ≥ τ, so pairs failing the
+    integer test ``tau_den·min ≥ tau_num·max`` can never verify — on a
+    small-vocab corpus this cuts candidate degree severalfold before the
+    routing exchange.  The shuffle
     carries (16-hex-char gram-hash, doc_id) only — never text; an md5
     collision merges buckets, which only ADDS candidates for the verifier to
     reject.  Buckets above ``max_bucket`` fail loudly (a stop-phrase trigram
@@ -1576,6 +1605,7 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_buc
         texts = batch.column("text").to_pylist()
         out_g: list[str] = []
         out_id: list[int] = []
+        out_n: list[int] = []
         for did, t in zip(ids, texts):
             grams = T.token_ngrams(t, 3)
             n = len(grams)
@@ -1585,10 +1615,12 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_buc
             p = n - (tau_num * n + tau_den - 1) // tau_den + 1
             out_g.extend(keys[:p])
             out_id.extend([did] * p)
+            out_n.extend([n] * p)
         return pa.table(
             {
                 "gram": pa.array(out_g, pa.string()),
                 "doc_id": pa.array(out_id, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
             }
         )
 
@@ -1597,9 +1629,18 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_buc
         prefixes, "gram", max_bucket,
         "trigram blocking degenerate for this corpus — use a larger gram "
         "unit or frequency-ordered prefixes",
+        size_ratio=(tau_num, tau_den),
     )
     deduped = _dedup_pairs(pairs).materialize()
-    return _distributed_jaccard_verify(ds, deduped, T.token_ngrams, threshold)
+    # max_degree rides max_bucket here: unlike MinHash banding (where high
+    # candidate degree means a degenerate band), prefix filtering on a
+    # small-vocab corpus legitimately yields degrees of O(Σ prefix-bucket
+    # sizes) — the quadratic guard is max_bucket at the blocking stage, and
+    # per-doc text replication is bounded by degree × the shingle-capped
+    # text size, a few MB per worst-case doc in the routing exchange.
+    return _distributed_jaccard_verify(
+        ds, deduped, T.token_ngrams, threshold, max_degree=max_bucket
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -110,3 +110,22 @@ def test_prefix_lemma_no_false_negatives(data):
     assert set(_prefix(ka, len(ka))) & set(_prefix(kb, len(kb))), (
         f"J={j} pair with disjoint prefixes: |A|={len(a)} |B|={len(b)}"
     )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_length_filter_no_false_negatives(data):
+    """The AllPairs LENGTH filter keeps every pair with J ≥ τ: J(A,B) ≥ τ
+    forces min(|A|,|B|)/max(|A|,|B|) ≥ τ, so the integer pruning test
+    tau_den·min ≥ tau_num·max (as implemented in _bucketed_candidate_pairs)
+    never drops a true pair."""
+    universe = [f"g{i}" for i in range(24)]
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=1))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=1))
+    j = jaccard(a, b)
+    if j < TAU_NUM / TAU_DEN:
+        return
+    lo, hi = min(len(a), len(b)), max(len(a), len(b))
+    assert TAU_DEN * lo >= TAU_NUM * hi, (
+        f"J={j} pair pruned by length filter: |A|={len(a)} |B|={len(b)}"
+    )
