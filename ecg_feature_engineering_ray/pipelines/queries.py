@@ -3175,3 +3175,265 @@ def bernoulli_sample_docs(sf_dir: str, rate: float = 0.1, seed: str = "sample"):
     sampled = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_agg(sampled, ["lang"],
                        {"n_sampled": ("*", "count"), "sampled_chars": ("n_chars", "sum")})
+
+
+# ---------------------------------------------------------------------------
+# round 4: windowed aggregates, mergeable sketches, stratified sampling,
+# histogram aggregates — the remaining aggregate classes a 100-TB training-
+# data pipeline leans on (hopping/tumbling event-time rollups, approximate
+# distinct without a shuffle of raw values, per-stratum rebalancing)
+# ---------------------------------------------------------------------------
+
+_HOP_US = 3_600_000_000  # 1 h hop
+_HOP_N = 4               # window width = 4 hops (4 h), epoch-aligned
+
+
+@register(
+    "hopping_window_counts",
+    f"""
+    SELECT (CAST(floor(epoch_us(ts) / {_HOP_US}.0) AS BIGINT) - i) * {_HOP_US}
+             AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           ROUND(sum(ROUND(value * 100)) / 100, 6) AS sum_value
+    FROM events, range(0, {_HOP_N}) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_counts(sf_dir: str):
+    """Hopping event-time windowed aggregate (width 4 h, hop 1 h): every
+    event lands in exactly ``width/hop`` overlapping windows.
+
+    Windows are EPOCH-ALIGNED, so window membership is pure per-row integer
+    arithmetic — no global min scan, no state, no shuffle beyond the final
+    small groupby.  The explode (×4 rows) happens inside ``map_batches``
+    with ``np.repeat`` index math and is immediately collapsed by the
+    Arrow-native partial aggregate, so the exchange carries one row per
+    (window, type) per block, not per event.  Generalizes the reference's
+    fixed per-record grids (preprocess-300hz.py:190-253) to the streaming
+    hopping-window rollup a trillion-row ingest monitor needs."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts").cast(pa.int64()).combine_chunks())
+        base = ts // _HOP_US
+        cents = np.rint(
+            np.asarray(batch.column("value").combine_chunks(), dtype=np.float64) * 100
+        )
+        # row i covers windows base[i] - 0 .. base[i] - (_HOP_N - 1)
+        win = (base[:, None] - np.arange(_HOP_N, dtype=np.int64)[None, :]).ravel()
+        idx = np.repeat(np.arange(len(ts)), _HOP_N)
+        return pa.table({
+            "window_start_us": pa.array(win * _HOP_US),
+            "event_type": batch.column("event_type").take(pa.array(idx)),
+            "value_c": pa.array(cents[idx]),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(exploded, ["window_start_us", "event_type"],
+                      {"n_events": ("*", "count"), "sum_value_c": ("value_c", "sum")})
+
+    def shape(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("sum_value_c").combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "window_start_us": batch.column("window_start_us"),
+            "event_type": batch.column("event_type"),
+            "n_events": batch.column("n_events"),
+            "sum_value": pa.array(rnd(s / 100.0), pa.float64()),
+        })
+
+    return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # md5 15-hex-char prefix = 60-bit hash space
+
+
+@register(
+    "approx_distinct_kmv",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)), 1, 15))::UBIGINT AS h
+      FROM events
+    ),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+    s AS (SELECT event_type,
+                 count(*) FILTER (WHERE rn <= {_KMV_K}) AS n_hashes,
+                 max(h) FILTER (WHERE rn = {_KMV_K}) AS kth,
+                 count(*) AS nd
+          FROM r GROUP BY event_type)
+    SELECT event_type,
+           CAST(n_hashes AS BIGINT) AS n_hashes,
+           CAST(CASE WHEN nd < {_KMV_K} THEN nd
+                     ELSE floor({_KMV_K - 1}.0 * {_KMV_SPACE!r} / CAST(kth AS DOUBLE) + 0.5)
+                END AS BIGINT) AS est_distinct
+    FROM s ORDER BY event_type
+    """,
+)
+def approx_distinct_kmv(sf_dir: str, k: int = _KMV_K):
+    """Mergeable k-minimum-values distinct sketch (Bar-Yossef et al. 2002):
+    per event_type, estimate the number of distinct cents-scaled values.
+
+    The sketch property that matters at 100 TB: each block contributes at
+    most ``k`` 8-byte hashes per group to the exchange — the shuffle volume
+    is O(groups × k), independent of row count, where an exact
+    count-distinct shuffles every distinct raw value.  Partials keep the k
+    smallest md5-derived 60-bit hashes of the *in-batch distinct* values
+    (Arrow hash-aggregate dedup first, so the per-row md5 kernel — the same
+    cross-engine-reproducible hash the sampling operators key on — runs
+    once per distinct value, not per row); the merge is "union, dedup, keep
+    k smallest", expressed on the same grouped-sorted spine as every other
+    per-key operator.  Estimator: (k-1) / kth-smallest-normalized-hash,
+    exact when distinct < k."""
+    import hashlib
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column("value").combine_chunks(), dtype=np.float64) * 100
+        ).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "c": pa.array(cents)})
+        uniq = t.group_by(["event_type", "c"]).aggregate([])
+        ets = np.asarray(uniq.column("event_type").to_pandas(), dtype=object)
+        cs = uniq.column("c").to_pylist()
+        hs = np.fromiter(
+            (int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16) for c in cs),
+            dtype=np.uint64, count=len(cs),
+        )
+        keep_et, keep_h = [], []
+        for et in np.unique(ets):
+            g = hs[ets == et]
+            if g.size > k:
+                g = np.partition(g, k - 1)[:k]
+            keep_et.append(np.full(g.size, et, dtype=object))
+            keep_h.append(g)
+        if not keep_et:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        return pa.table({
+            "event_type": pa.array(np.concatenate(keep_et).tolist(), pa.string()),
+            "h": pa.array(np.concatenate(keep_h), pa.uint64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        # tbl sorted by (event_type, h): per-segment dedup + first-k is pure
+        # index arithmetic on the sorted spine
+        starts, ends = entity_segments(tbl, "event_type")
+        ets = tbl.column("event_type")
+        hs = np.asarray(tbl.column("h").combine_chunks()).astype(np.uint64)
+        out_et, out_n, out_est = [], [], []
+        for s, e in zip(starts, ends):
+            g = hs[s:e]
+            g = g[np.concatenate(([True], g[1:] != g[:-1]))]  # sorted dedup
+            n = min(g.size, k)
+            if g.size < k:
+                est = g.size
+            else:
+                est = int(np.floor((k - 1) * _KMV_SPACE / np.float64(g[k - 1]) + 0.5))
+            out_et.append(ets[s].as_py())
+            out_n.append(n)
+            out_est.append(est)
+        return pa.table({"event_type": pa.array(out_et, pa.string()),
+                         "n_hashes": pa.array(out_n, pa.int64()),
+                         "est_distinct": pa.array(out_est, pa.int64())})
+
+    out = grouped_sorted_apply(partials, "event_type", ["h"], merge, NB)
+    return out.sort("event_type")
+
+
+_STRAT_RATES = {"en": 0.05}   # head-language downsample
+_STRAT_DEFAULT = 0.2          # tail languages keep 20%
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(concat('strat|', CAST(doc_id AS VARCHAR))), 1, 4))::INT
+          < (CASE WHEN lang = 'en' THEN {int(np.floor(0.05 * 65536 + 0.5))}
+                  ELSE {int(np.floor(0.2 * 65536 + 0.5))} END)
+    GROUP BY lang
+    """,
+)
+def stratified_sample_docs(sf_dir: str, seed: str = "strat"):
+    """Stratified deterministic sampling: per-stratum (language) keep-rates
+    rebalance a head-heavy corpus — the language-rebalancing step of a
+    web-crawl training mix.  Same md5 keep-key as the Bernoulli sampler
+    (retry-safe, no RNG state); the rate table is a broadcast-size constant
+    resolved per row with a vectorized dictionary lookup, so adding strata
+    never adds a shuffle."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    cuts = {lang: int(np.floor(r * 65536 + 0.5)) for lang, r in _STRAT_RATES.items()}
+    default_cut = int(np.floor(_STRAT_DEFAULT * 65536 + 0.5))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = pa.array([
+            int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:4], 16)
+            < cuts.get(lang, default_cut)
+            for i, lang in zip(ids, langs)
+        ])
+        return batch.filter(mask)
+
+    sampled = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(sampled, ["lang"],
+                       {"n_sampled": ("*", "count"), "sampled_chars": ("n_chars", "sum")})
+
+
+_HIST_LO, _HIST_W, _HIST_NBINS = 0.0, 16.0, 32  # 32 bins over [0, 512)
+
+
+@register(
+    "value_histogram",
+    f"""
+    SELECT event_type,
+           CAST(least(greatest(floor((value - {_HIST_LO}) / {_HIST_W}), 0), {_HIST_NBINS - 1}) AS BIGINT) AS bin,
+           count(*) AS n_events,
+           ROUND(sum(ROUND(value * 100)) / 100, 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(sf_dir: str):
+    """Fixed-bin histogram aggregate per event_type (32 bins, clamped edge
+    bins): the distribution profile an ingest-quality monitor computes per
+    partition.  Binning is branch-free vectorized float math per batch; the
+    exchange carries at most types × 32 partial rows per block regardless of
+    input size (same partial-before-shuffle shape as the distinct sketch)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def binit(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+        b = np.clip(np.floor((v - _HIST_LO) / _HIST_W), 0, _HIST_NBINS - 1).astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "bin": pa.array(b),
+            "value_c": pa.array(np.rint(v * 100)),
+        })
+
+    binned = ds.map_batches(binit, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(binned, ["event_type", "bin"],
+                      {"n_events": ("*", "count"), "sum_value_c": ("value_c", "sum")})
+
+    def shape(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("sum_value_c").combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "bin": batch.column("bin"),
+            "n_events": batch.column("n_events"),
+            "sum_value": pa.array(rnd(s / 100.0), pa.float64()),
+        })
+
+    return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
