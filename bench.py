@@ -158,6 +158,47 @@ def calib_sampen_per_s(target_s: float = 2.0) -> float:
     return round(n / (time.time() - t0), 2)
 
 
+def _calib_worker(target_s: float) -> int:
+    import numpy as np
+
+    from ecg_feature_engineering_ray.functions.entropy import sampen_hrv
+
+    x = np.random.default_rng(123).standard_normal(1200)
+    sampen_hrv(x)
+    n, t0 = 0, time.time()
+    while time.time() - t0 < target_s:
+        sampen_hrv(x)
+        n += 1
+    return n
+
+
+def calib_parallel(single_rate: float, workers: int = 8, target_s: float = 2.0) -> dict:
+    """Multi-core calibration: the same kernel in ``workers`` concurrent
+    no-Ray processes.  The single-core rate catches host-clock drift, but
+    NOT capacity loss — a contended/steal-heavy window can leave single-core
+    speed at 0.75× while the box's effective parallel capacity drops to
+    ~0.3× (observed 2026-08-18: 32-worker aggregate only 1.45× the 8-worker
+    aggregate, where round 3's window scaled near-linearly to 16+).  The
+    ``efficiency`` field (aggregate / workers×single) says how many of the
+    advertised cores this window actually delivers — read it before calling
+    any wall-clock delta a regression."""
+    import multiprocessing as mp
+
+    try:
+        with mp.get_context("spawn").Pool(workers) as p:
+            t0 = time.time()
+            counts = p.map(_calib_worker, [target_s] * workers)
+            wall = time.time() - t0
+        agg = sum(counts) / max(wall, 1e-9)
+        return {
+            "workers": workers,
+            "agg_sampen_per_s": round(agg, 1),
+            "efficiency": round(agg / (workers * single_rate), 3) if single_rate else None,
+        }
+    except Exception as e:  # calibration must never sink the bench
+        return {"workers": workers, "error": f"{type(e).__name__}: {e}"[:120]}
+
+
 class _BucketTimer:
     """Instrument for the flagship merge stage: wraps the per-bucket fn and
     appends one JSON file per bucket (input/output rows, wall seconds) under
@@ -430,13 +471,16 @@ if __name__ == "__main__":
     # round-over-round comparison — this VM drifts ±10-30% between
     # identical runs.  Runs before ray.init; never inside a timed window.
     calib = calib_sampen_per_s()
+    calib_mc = calib_parallel(calib)
     if "--scaling" in sys.argv:
         res = run_scaling()
         res["calib_sampen_per_s"] = calib
+        res["calib_parallel"] = calib_mc
         print(json.dumps(res))
     else:
         res = run_suite()
         res["calib_sampen_per_s"] = calib
+        res["calib_parallel"] = calib_mc
         # the north rule's two-cluster-size criterion, measured IN-RUN so the
         # recorded bench JSON carries the efficiency number itself (two fresh
         # processes at 8 and 32 CPUs over the same input).  Disable with

@@ -129,3 +129,34 @@ def test_length_filter_no_false_negatives(data):
     assert TAU_DEN * lo >= TAU_NUM * hi, (
         f"J={j} pair pruned by length filter: |A|={len(a)} |B|={len(b)}"
     )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_positional_filter_no_false_negatives(data):
+    """The PPJoin POSITIONAL filter keeps every pair with J >= tau: at any
+    shared prefix gram with positions (i_a, i_b) in the canonically sorted
+    gram lists, overlap <= min(i_a,i_b) + min(n_a-i_a, n_b-i_b), and J >= tau
+    forces overlap >= alpha = ceil(tau_num*(n_a+n_b)/(tau_num+tau_den)) —
+    so min(slack) over co-occurrences (as aggregated in ngram_jaccard_pairs)
+    is never negative for a true pair."""
+    universe = [f"g{i}" for i in range(24)]
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=1))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=1))
+    j = jaccard(a, b)
+    if j < TAU_NUM / TAU_DEN:
+        return
+    ka = sorted(md5_hex(g)[:16] for g in a)
+    kb = sorted(md5_hex(g)[:16] for g in b)
+    na, nb = len(ka), len(kb)
+    alpha = (TAU_NUM * (na + nb) + TAU_NUM + TAU_DEN - 1) // (TAU_NUM + TAU_DEN)
+    pa_, pb_ = _prefix(ka, na), _prefix(kb, nb)
+    shared = set(pa_) & set(pb_)
+    assert shared  # prefix lemma, re-asserted so failures localize
+    for g in shared:
+        ia, ib = ka.index(g), kb.index(g)
+        bound = min(ia, ib) + min(na - ia, nb - ib)
+        assert bound - alpha >= 0, (
+            f"J={j} pair killed by positional filter: bound={bound} alpha={alpha} "
+            f"(|A|={na} i_a={ia}, |B|={nb} i_b={ib})"
+        )
