@@ -1607,16 +1607,27 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
     WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 3.0 / 5.0
     """,
 )
-def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_bucket: int = 4096):
+def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_bucket: int = 4096,
+                        freq_order: bool = True, hot_k: int = 1 << 17):
     """Token-3-gram Jaccard near-dup pairs via PREFIX FILTERING (AllPairs/
     PPJoin lemma), verified by exact Jaccard — the n-gram-Jaccard dedup
     variant, with a provably candidate-complete blocking step instead of the
     probabilistic MinHash banding of ``near_dup_pairs``.
 
-    Per doc: the distinct word-trigram set, totally ordered by md5 — a
-    CANONICAL global order needs no global statistics, so blocking costs
-    zero extra shuffles (frequency order is the classical efficiency
-    heuristic, not a correctness requirement).  For threshold τ = tau_num/
+    Per doc: the distinct word-trigram set in a CANONICAL global order —
+    ascending document frequency (the classical AllPairs efficiency
+    heuristic: rare grams land in prefixes, so blocking buckets stay tiny),
+    ties and tail broken by md5.  Correctness needs only that the order is
+    the same TOTAL order for every doc, which holds because the rank map is
+    computed once globally: a distinct-gram-per-doc stream → native
+    ``groupby(gram).count()`` → top ``hot_k`` multi-doc grams broadcast via
+    ``ray.put`` (singleton grams can never pair, so the map is bounded by
+    the multi-doc vocabulary, further capped by ``hot_k``; grams outside
+    the map share rank −1 and order among themselves by md5).  This is the
+    same periodic-stats-job + broadcast pattern as the flagship's hot-key
+    plan — one cheap counting exchange, no extra text shuffle.  Setting
+    ``freq_order=False`` falls back to pure-md5 order (no stats pass).
+    For threshold τ = tau_num/
     tau_den, any pair with J(A,B) ≥ τ has overlap ≥ ⌈τ·max(|A|,|B|)⌉, so by
     pigeonhole the first |X| − ⌈τ·|X|⌉ + 1 grams of each side must share an
     element: emitting only those PREFIX grams into the ``groupby(gram)``
@@ -1644,7 +1655,34 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_buc
     threshold = tau_num / tau_den
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    rank_ref = None
+    if freq_order:
+        # global gram document-frequency rank: distinct grams per doc →
+        # native hash-aggregate count → top hot_k multi-doc grams (sorted
+        # ascending df so RANK ORDER = ascending frequency; most frequent
+        # grams sort LAST in every doc's canonical order)
+        def emit_grams(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            out: list[str] = []
+            for t in texts:
+                out.extend(md5_hex(g)[:16] for g in T.token_ngrams(t, 3))
+            return pa.table({"gram": pa.array(out, pa.string())})
+
+        counts = (
+            ds.map_batches(emit_grams, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("gram").count()
+        )
+        multi = counts.map_batches(
+            lambda b: b.filter(pc.greater(b.column("count()"), 1)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        hot = multi.sort(["count()", "gram"], descending=[True, False]).limit(hot_k)
+        # bounded by hot_k rows (16-hex string + count) — broadcast-size
+        hot_keys_desc = [r["gram"] for r in hot.take_all()]
+        rank_ref = ray.put({g: len(hot_keys_desc) - i for i, g in enumerate(hot_keys_desc)})
+
     def prefix_emit(batch: pa.Table) -> pa.Table:
+        rank = ray.get(rank_ref) if rank_ref is not None else {}
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_g: list[str] = []
@@ -1656,7 +1694,10 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 3, tau_den: int = 5, max_buc
             n = len(grams)
             if n == 0:
                 continue
-            keys = sorted(md5_hex(g)[:16] for g in grams)
+            keys = sorted(
+                (md5_hex(g)[:16] for g in grams),
+                key=(lambda k2: (rank.get(k2, -1), k2)) if rank else None,
+            )
             p = n - (tau_num * n + tau_den - 1) // tau_den + 1
             out_g.extend(keys[:p])
             out_id.extend([did] * p)
