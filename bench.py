@@ -107,6 +107,15 @@ NEARDUP_SUITE = [
     "embedding_near_dups",
 ]
 
+# round-4 aggregate classes (hopping windows, KMV distinct sketch,
+# stratified sampling, histogram) — same separate-block treatment
+SKETCH_SUITE = [
+    "hopping_window_counts",
+    "approx_distinct_kmv",
+    "value_histogram",
+    "stratified_sample_docs",
+]
+
 
 def fixture_dirs(prof: dict) -> tuple[str, str]:
     """Bench fixture (cached across runs — generation is deterministic)."""
@@ -348,6 +357,7 @@ def run_suite() -> dict:
 
     q_times: dict[str, float] = {}
     nd_times: dict[str, float] = {}
+    sk_times: dict[str, float] = {}
     if prof["run_suite"]:
         for name in SUITE:
             t0 = time.time()
@@ -365,14 +375,21 @@ def run_suite() -> dict:
             if hasattr(res, "count"):
                 res.count()
             nd_times[name] = round(time.time() - t0, 3)
+        for name in SKETCH_SUITE:
+            t0 = time.time()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            sk_times[name] = round(time.time() - t0, 3)
 
     total = round(sum(q_times.values()) + flagship_s, 3)
     result = {
         "metric": "as-of join + window-feature rows/sec (flagship PIT pipeline) + operator suite wall time",
         "value": total,
         "unit": "sec",
-        "queries": {**q_times, **nd_times, "flagship_pit": round(flagship_s, 3)},
+        "queries": {**q_times, **nd_times, **sk_times, "flagship_pit": round(flagship_s, 3)},
         "neardup_suite_s": round(sum(nd_times.values()), 3),
+        "sketch_suite_s": round(sum(sk_times.values()), 3),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "profile": PROFILE,
