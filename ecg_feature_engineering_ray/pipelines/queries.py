@@ -3541,3 +3541,93 @@ def value_histogram(sf_dir: str):
         })
 
     return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_HH_K = 512  # sketch capacity; heavy-hitter threshold t = 2n/k = n/256
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks),
+    c AS (SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token)
+    SELECT c.token, c.n_occurrences
+    FROM c, tot WHERE c.n_occurrences * {_HH_K // 2} > tot.n
+    """,
+)
+def heavy_hitter_tokens(sf_dir: str, k: int = _HH_K):
+    """Distributed heavy hitters: tokens occurring > 2n/k times corpus-wide,
+    with EXACT counts, in two passes — the frequency-outlier scan a crawl
+    pipeline runs to find boilerplate/stop phrases before dedup.
+
+    Pass 1 is a lossy-count sketch: each batch keeps only tokens whose
+    in-batch count exceeds (batch tokens)/k — at most k rows per batch by
+    pigeonhole, fully vectorized (Arrow split+flatten, hash-aggregate) — so
+    the exchange carries O(k × blocks) rows, never the vocabulary.  A token
+    dropped by a batch had ≤ n_i/k occurrences there, so the aggregated
+    sketch undercounts any token by at most Σ n_i/k = n/k: every true heavy
+    hitter (> 2n/k) therefore shows sketch count > n/k, and the candidate
+    set (sketch·k > n) is complete AND ≤ k strong.  Pass 2 recounts ONLY
+    candidate tokens exactly (broadcast membership filter map-side, tiny
+    exact groupby) and applies the true threshold — output counts are
+    exact, which is what lets the DuckDB oracle hash-match an operator
+    whose first pass is approximate.
+
+    Same two-phase shape as the flagship's hot-key stats job; reference
+    analog: the class-distribution scan (preprocess-300hz.py:133-141)
+    generalized to open-vocabulary heavy hitters."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        ni = len(flat)
+        if ni == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "is_total": pa.array([], pa.bool_())})
+        cnt = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        c = cnt.column("token_count")
+        keep = cnt.filter(pc.greater(pc.multiply(c, k), ni))
+        return pa.table({
+            "token": pa.concat_arrays([keep.column("token").combine_chunks(),
+                                       pa.array([""], pa.string())]),
+            "cnt": pa.concat_arrays([keep.column("token_count").cast(pa.int64()).combine_chunks(),
+                                     pa.array([ni], pa.int64())]),
+            "is_total": pa.array([False] * keep.num_rows + [True]),
+        })
+
+    partials = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["token", "is_total"]).sum("cnt").materialize()
+    tot_rows = agg.map_batches(
+        lambda b: b.filter(b.column("is_total")), batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = sum(r["sum(cnt)"] for r in tot_rows)  # exact Σ len(string_split)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.invert(b.column("is_total")),
+                    pc.greater(pc.multiply(b.column("sum(cnt)"), k), n))
+        return b.filter(m).select(["token"])
+
+    cand = agg.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    cand_ref = ray.put(pa.array(sorted(r["token"] for r in cand), pa.string()))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        hit = flat.filter(pc.is_in(flat, value_set=ray.get(cand_ref)))
+        return pa.table({"token": hit})
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token").count()
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        m = pc.greater(pc.multiply(b.column("count()"), k // 2), n)
+        out = b.filter(m)
+        return pa.table({"token": out.column("token"),
+                         "n_occurrences": out.column("count()").cast(pa.int64())})
+
+    return exact.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)

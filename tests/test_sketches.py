@@ -116,3 +116,45 @@ def test_histogram_mass_and_bounds(ray_session):
     # clamped-edge bins: bin 31 holds everything >= 496
     top = int(out.loc[out["bin"] == 31, "n_events"].sum()) if (out["bin"] == 31).any() else 0
     assert top == int((v >= 496.0).sum())
+
+
+def test_heavy_hitters_planted(ray_session, tmp_path):
+    """A planted boilerplate token crossing the 2n/k threshold is found with
+    its EXACT corpus count; tokens below threshold never appear."""
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(400):
+        words = [f"w{rng.integers(0, 5000)}" for _ in range(40)]
+        if i % 2 == 0:
+            words[::7] = ["BOILER"] * len(words[::7])  # ~6 plants x 200 docs
+        docs.append(" ".join(words))
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(docs))),
+                    "text": pa.array(docs)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    out = _df("heavy_hitter_tokens", str(d))
+    # exact truth
+    from collections import Counter
+
+    c = Counter(t for s in docs for t in s.split(" "))
+    n = sum(c.values())
+    truth = {t: m for t, m in c.items() if m * 256 > n}
+    assert "BOILER" in truth  # the plant actually crosses the threshold
+    got = dict(zip(out["token"], out["n_occurrences"]))
+    assert got == truth
+
+
+def test_heavy_hitters_sketch_row_bound(ray_session):
+    """Pass-1 sketch emits at most k+1 rows per batch (pigeonhole) — the
+    bound that makes the exchange O(k x blocks) instead of O(vocabulary)."""
+    import pyarrow.compute as pc
+
+    from ecg_feature_engineering_ray.pipelines.queries import _HH_K
+
+    texts = pa.table({"text": pa.array([" ".join(f"t{i}" for i in range(2000))] * 3)})
+    flat = pc.list_flatten(pc.split_pattern(texts.column("text"), " "))
+    ni = len(flat)
+    cnt = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+    keep = cnt.filter(pc.greater(pc.multiply(cnt.column("token_count"), _HH_K), ni))
+    assert keep.num_rows <= _HH_K
