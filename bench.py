@@ -454,11 +454,29 @@ def run_scaling() -> dict:
             runs[cpus].append(got[cpus])
         lo = got[lo_cpus]["flagship_rows_per_s"]
         hi = got[hi_cpus]["flagship_rows_per_s"]
-        rounds.append({
+        rec = {
             "eff": round(hi / (lo * (hi_cpus / lo_cpus)), 3),
             "rows_per_s": {str(lo_cpus): lo, str(hi_cpus): hi},
             "order": list(order),
-        })
+        }
+        # Capacity-normalized efficiency: each arm measures its OWN no-Ray
+        # kernel aggregate at its worker count (calib_parallel, computed in
+        # the arm subprocess before ray.init).  The paired design assumes
+        # host capacity is constant WITHIN a round, but this VM can lose
+        # cores BETWEEN the two arms — which hits the wide arm's rows/s
+        # while barely touching the narrow arm's, deflating the raw ratio
+        # for reasons that are not the engine (observed 2026-08-18: hi-arm
+        # kernel aggregate fell 30% across three rounds while lo arms were
+        # flat; raw per-round eff 1.01/0.65/0.61).  Normalizing by the
+        # arms' measured kernel-capacity ratio removes exactly that host
+        # asymmetry and NOTHING else: in a stable window the capacity
+        # ratio equals hi/lo CPUs and eff_capacity == eff.
+        cp_lo = (got[lo_cpus].get("calib_parallel") or {}).get("agg_sampen_per_s")
+        cp_hi = (got[hi_cpus].get("calib_parallel") or {}).get("agg_sampen_per_s")
+        if cp_lo and cp_hi:
+            rec["calib_parallel_agg"] = {str(lo_cpus): cp_lo, str(hi_cpus): cp_hi}
+            rec["eff_capacity"] = round((hi / lo) / (cp_hi / cp_lo), 3)
+        rounds.append(rec)
     eff = statistics.median(r["eff"] for r in rounds)
     # representative round = the one CLOSEST to the median (for even repeat
     # counts the median is the mean of the two middle rounds and belongs to
@@ -474,8 +492,18 @@ def run_scaling() -> dict:
         "unit": "efficiency",
         "rows_per_s": mid["rows_per_s"],
         "per_round_efficiency": [r["eff"] for r in rounds],
+        "per_round_eff_capacity": [r.get("eff_capacity") for r in rounds],
+        "value_capacity_normalized": (
+            round(statistics.median(v for v in (r.get("eff_capacity") for r in rounds) if v), 3)
+            if any(r.get("eff_capacity") for r in rounds) else None
+        ),
         "all_runs_rows_per_s": {str(c): [r["flagship_rows_per_s"] for r in rs] for c, rs in runs.items()},
         "all_runs_flagship_s": {str(c): [r["queries"]["flagship_pit"] for r in rs] for c, rs in runs.items()},
+        "all_runs_calib": {str(c): [r.get("calib_sampen_per_s") for r in rs] for c, rs in runs.items()},
+        "all_runs_calib_parallel": {
+            str(c): [(r.get("calib_parallel") or {}).get("agg_sampen_per_s") for r in rs]
+            for c, rs in runs.items()
+        },
         "profile": "scaling",
         "sf": SF_DIR,
     }
@@ -488,7 +516,11 @@ if __name__ == "__main__":
     # round-over-round comparison — this VM drifts ±10-30% between
     # identical runs.  Runs before ray.init; never inside a timed window.
     calib = calib_sampen_per_s()
-    calib_mc = calib_parallel(calib)
+    # scaling arms measure capacity at their OWN worker count so the paired
+    # rounds can normalize by each arm's actually-delivered cores; the
+    # default suite keeps 8 workers (stable mid-range probe)
+    calib_workers = NUM_CPUS if PROFILE == "scaling" else 8
+    calib_mc = calib_parallel(calib, workers=calib_workers)
     if "--scaling" in sys.argv:
         res = run_scaling()
         res["calib_sampen_per_s"] = calib
