@@ -66,7 +66,13 @@ PROFILES = {
     },
     "scaling": {
         "entities": 400,
-        "queries": 96000,
+        # 48k (was 96k in rounds 2-3): halves each arm's wall-clock, so a
+        # paired round fits in ~8 min instead of ~17 — half the exposure to
+        # mid-round host-capacity drift (the failure mode observed
+        # 2026-08-18), and room for 5 rounds where 3 fit before.  The
+        # efficiency ratio is unaffected: both arms share the same (warmup-
+        # amortized) fixed costs and the profile stays compute-dominated.
+        "queries": 48000,
         "median_events": 2400,
         "sigma": 0.3,
         "dims": (32,),
@@ -413,7 +419,7 @@ def run_scaling() -> dict:
     to measure the full-box pair; BASELINE.md records both.
     """
     lo_cpus, hi_cpus = (int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
-    repeats = max(int(os.environ.get("GRAFT_SCALING_REPEATS", "3")), 1)
+    repeats = max(int(os.environ.get("GRAFT_SCALING_REPEATS", "5")), 1)
     import statistics
 
     import ray
@@ -486,7 +492,8 @@ def run_scaling() -> dict:
     return {
         "metric": (
             f"scaling efficiency (flagship PIT rows/s, {lo_cpus}→{hi_cpus} CPUs, fresh "
-            f"processes, same input; median of {repeats} paired same-window rounds)"
+            f"processes, same input; median of {repeats} paired same-window rounds, "
+            f"per-arm kernel-capacity calibration recorded)"
         ),
         "value": round(eff, 3),
         "unit": "efficiency",
