@@ -114,12 +114,16 @@ NEARDUP_SUITE = [
 ]
 
 # round-4 aggregate classes (hopping windows, KMV distinct sketch,
-# stratified sampling, histogram) — same separate-block treatment
+# stratified sampling, histogram, per-group top-k) — same separate-block
+# treatment
 SKETCH_SUITE = [
     "hopping_window_counts",
     "approx_distinct_kmv",
     "value_histogram",
     "stratified_sample_docs",
+    "capped_docs_per_source",
+    "top_docs_per_lang",
+    "value_quantiles_by_type",
 ]
 
 

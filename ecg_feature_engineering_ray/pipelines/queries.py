@@ -26,7 +26,7 @@ from ..functions import text as T
 from ..functions.stats import percentiles
 from ..sources.readers import read_table
 from ..stages.asof import asof_join, asof_self_join
-from ..stages.groupagg import global_agg, grouped_agg
+from ..stages.groupagg import global_agg, grouped_agg, per_group_top_k
 from ..stages.joins import broadcast_join
 from ..stages.partition import entity_segments, grouped_sorted_apply
 from ..stages.session import session_segments
@@ -3631,3 +3631,161 @@ def heavy_hitter_tokens(sf_dir: str, k: int = _HH_K):
                          "n_occurrences": out.column("count()").cast(pa.int64())})
 
     return exact.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_QTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+@register(
+    "value_quantiles_by_type",
+    f"""
+    SELECT event_type, count(*) AS n_events,
+           ROUND(quantile_cont(ROUND(value * 100), 0.25) / 100, 6) AS p25,
+           ROUND(quantile_cont(ROUND(value * 100), 0.5) / 100, 6) AS p50,
+           ROUND(quantile_cont(ROUND(value * 100), 0.75) / 100, 6) AS p75,
+           ROUND(quantile_cont(ROUND(value * 100), 0.9) / 100, 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles_by_type(sf_dir: str):
+    """EXACT grouped quantiles (linear-interpolated, = SQL quantile_cont)
+    without shuffling rows: partials are (group, cents-value) COUNTS — an
+    Arrow hash-aggregate per block — so the exchange carries
+    O(groups × distinct-values-per-block) rows (bounded by the fixed-point
+    domain, here ≤ 51 200 cents) regardless of row count.  The merge walks
+    each group's sorted (value, count) run with cumulative sums and reads
+    the order statistics off the counts; duplicate values arriving from
+    different blocks are adjacent on the sorted spine, so no pre-merge pass
+    is needed.  This is the scale path for percentile features over
+    low-cardinality/fixed-point measures — `user_value_stats` (exact
+    percentiles over raw doubles) stays the row-shuffle path for unbounded
+    domains.  Reference analog: the percentile block of
+    /root/reference/LONG_features.py:57-66 restated as a mergeable aggregate."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column("value").combine_chunks(), dtype=np.float64) * 100
+        ).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"), "cent": pa.array(cents)})
+        cnt = t.group_by(["event_type", "cent"]).aggregate([("cent", "count")])
+        return pa.table({"event_type": cnt.column("event_type"),
+                         "cent": cnt.column("cent"),
+                         "n": cnt.column("cent_count").cast(pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "event_type")
+        ets = tbl.column("event_type")
+        cents = np.asarray(tbl.column("cent").combine_chunks(), dtype=np.float64)
+        cnts = np.asarray(tbl.column("n").combine_chunks(), dtype=np.int64)
+        rows = {"event_type": [], "n_events": []}
+        for q in _QTILES:
+            rows[f"p{int(q * 100)}"] = []
+        for s, e in zip(starts, ends):
+            v, c = cents[s:e], cnts[s:e]
+            cum = np.cumsum(c)           # v ascending (bucket sort order)
+            n = int(cum[-1])
+            rows["event_type"].append(ets[s].as_py())
+            rows["n_events"].append(n)
+            for q in _QTILES:
+                pos = q * (n - 1)
+                i = int(np.floor(pos))
+                frac = pos - i
+                # order stats i and i+1 via searchsorted on cumulative counts
+                lo = v[np.searchsorted(cum, i + 1)]
+                hi = v[np.searchsorted(cum, min(i + 2, n))]
+                rows[f"p{int(q * 100)}"].append(float(rnd((lo + frac * (hi - lo)) / 100.0)))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_events": pa.array(rows["n_events"], pa.int64()),
+            **{f"p{int(q * 100)}": pa.array(rows[f"p{int(q * 100)}"], pa.float64())
+               for q in _QTILES},
+        })
+
+    return grouped_sorted_apply(partials, "event_type", ["cent"], merge, NB)
+
+
+_CAP_K = 10   # per-source contribution cap (binds on the 20x25 test corpus)
+_TOPDOC_K = 5  # best-k selection per language
+
+
+@register(
+    "capped_docs_per_source",
+    f"""
+    SELECT source, doc_id, lang, n_chars, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT source, doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(concat('cap|', CAST(doc_id AS VARCHAR))), 1, 15))::UBIGINT,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_CAP_K}
+    """,
+)
+def capped_docs_per_source(sf_dir: str, k: int = _CAP_K):
+    """Per-domain contribution cap: keep at most k documents per source,
+    chosen as the k smallest deterministic md5 row hashes — the "no domain
+    may contribute more than k docs" step of a crawl training mix, with no
+    RNG state (retry-safe, identical on re-run and backfill).
+
+    Runs on the mergeable per-group top-k spine (stages/groupagg.py):
+    each block pre-prunes to ≤k rows per source inside map_batches, so the
+    exchange is O(sources-per-block × k) — a hot domain with 10⁹ pages
+    ships k rows per block, never its page list."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source", "n_chars"])
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(f"cap|{i}".encode()).hexdigest()[:15], 16) for i in ids),
+            dtype=np.uint64, count=len(ids),
+        )
+        return batch.append_column("__h", pa.array(h))
+
+    hashed = ds.map_batches(hashes, batch_format="pyarrow", zero_copy_batch=True)
+    out = per_group_top_k(hashed, "source", ["__h", "doc_id"], k, NB,
+                          rank_name="sample_rank")
+    return (
+        out.drop_columns(["__h"])
+        .select_columns(["source", "doc_id", "lang", "n_chars", "sample_rank"])
+        .sort(["source", "sample_rank"])
+    )
+
+
+@register(
+    "top_docs_per_lang",
+    f"""
+    SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS len_rank
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_TOPDOC_K}
+    """,
+)
+def top_docs_per_lang(sf_dir: str, k: int = _TOPDOC_K):
+    """Per-group best-k selection (longest k documents per language,
+    doc_id-tiebroken): same mergeable top-k spine as the contribution cap,
+    ordering by a score instead of a hash — descending order is a negated
+    sort key, nothing else changes."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def negkey(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_chars").combine_chunks(), dtype=np.int64)
+        return batch.append_column("__neg", pa.array(-n))
+
+    keyed = ds.map_batches(negkey, batch_format="pyarrow", zero_copy_batch=True)
+    out = per_group_top_k(keyed, "lang", ["__neg", "doc_id"], k, NB,
+                          rank_name="len_rank")
+    return (
+        out.drop_columns(["__neg"])
+        .select_columns(["lang", "doc_id", "n_chars", "len_rank"])
+        .sort(["lang", "len_rank"])
+    )

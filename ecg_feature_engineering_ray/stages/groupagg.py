@@ -134,6 +134,64 @@ def grouped_agg(
     return partials.groupby(keys).map_groups(finalize, batch_format="pandas")
 
 
+def per_group_top_k(
+    ds: Dataset,
+    group: str,
+    order_by: list[str],
+    k: int,
+    num_buckets: int,
+    rank_name: str = "rank",
+) -> Dataset:
+    """Per-group top-k: the k lexicographically-smallest rows of ``order_by``
+    within each ``group``, plus a 1-based ``rank_name`` column.
+
+    Mergeable the same way a KMV sketch is: each block pre-prunes to ≤k rows
+    per group inside ``map_batches`` (vectorized lexsort + segment-position
+    mask, no Python per-group loop), so the exchange carries
+    O(groups-per-block × k) rows regardless of input size; the final pass is
+    one ``grouped_sorted_apply`` taking the first k of each sorted segment.
+    Descending order = negate the key column before calling.  This is the
+    spine for both per-domain contribution caps (order by a deterministic
+    row hash) and per-group best-k selection (order by a score).
+
+    Reference analog: the reference selects its top-300 features by
+    importance with a driver-local ``np.argsort(-fea_)[:300]``
+    (/root/reference/xgboost_clf.py:244); this is that selection restated
+    per-group as a distributed mergeable operator.
+    """
+    from .partition import entity_segments, grouped_sorted_apply  # noqa: PLC0415
+
+    def prune(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        gvals = batch.column(group).to_pandas().to_numpy()
+        _, gc = np.unique(gvals, return_inverse=True)
+        keys = [np.asarray(batch.column(c).combine_chunks()) for c in order_by]
+        # np.lexsort: LAST key is primary → (tie_n … tie_1, primary, group)
+        order = np.lexsort(tuple(reversed(keys)) + (gc,))
+        sg = gc[order]
+        starts = np.flatnonzero(np.concatenate(([True], sg[1:] != sg[:-1])))
+        seg_id = np.cumsum(np.concatenate(([False], sg[1:] != sg[:-1])))
+        pos = np.arange(n) - starts[seg_id]
+        return batch.take(pa.array(order[pos < k]))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def head_k(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, group)
+        n = tbl.num_rows
+        pos = np.arange(n) - np.repeat(
+            np.asarray(starts, dtype=np.int64),
+            np.asarray(ends, dtype=np.int64) - np.asarray(starts, dtype=np.int64),
+        )
+        mask = pos < k
+        out = tbl.filter(pa.array(mask))
+        return out.append_column(rank_name, pa.array(pos[mask] + 1, pa.int64()))
+
+    return grouped_sorted_apply(pruned, group, order_by, head_k, num_buckets)
+
+
 def global_agg(ds: Dataset, specs: dict[str, tuple[str, str]]) -> pa.Table:
     """Whole-dataset aggregate (no keys) via the same partial pattern.
 

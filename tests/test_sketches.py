@@ -158,3 +158,102 @@ def test_heavy_hitters_sketch_row_bound(ray_session):
     cnt = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
     keep = cnt.filter(pc.greater(pc.multiply(cnt.column("token_count"), _HH_K), ni))
     assert keep.num_rows <= _HH_K
+
+
+def test_per_group_top_k_vs_brute(ray_session):
+    """top_docs_per_lang == a pandas brute force (independent of the SQL
+    oracle): per lang, the k longest docs with doc_id tiebreak, ranked."""
+    import pandas as pd
+
+    from ecg_feature_engineering_ray.pipelines.queries import _TOPDOC_K
+
+    out = _df("top_docs_per_lang").reset_index(drop=True)
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    brute = (
+        docs.sort_values(["lang", "n_chars", "doc_id"],
+                         ascending=[True, False, True])
+        .groupby("lang").head(_TOPDOC_K).reset_index(drop=True)
+    )
+    brute["len_rank"] = brute.groupby("lang").cumcount() + 1
+    merged = brute[["lang", "doc_id", "n_chars", "len_rank"]]
+    pd.testing.assert_frame_equal(
+        out.sort_values(["lang", "len_rank"]).reset_index(drop=True),
+        merged.sort_values(["lang", "len_rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_capped_sample_is_hash_minimal(ray_session):
+    """capped_docs_per_source keeps exactly the k smallest md5 row hashes
+    per source, rank-contiguous — brute-forced with hashlib directly."""
+    from ecg_feature_engineering_ray.pipelines.queries import _CAP_K
+
+    out = _df("capped_docs_per_source")
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    docs["h"] = [
+        int(hashlib.md5(f"cap|{i}".encode()).hexdigest()[:15], 16)
+        for i in docs["doc_id"]
+    ]
+    for src, grp in out.groupby("source"):
+        assert len(grp) <= _CAP_K
+        assert sorted(grp["sample_rank"]) == list(range(1, len(grp) + 1))
+        truth = (
+            docs[docs["source"] == src]
+            .sort_values(["h", "doc_id"]).head(_CAP_K)["doc_id"].tolist()
+        )
+        got = grp.sort_values("sample_rank")["doc_id"].tolist()
+        assert got == truth
+
+
+def test_per_group_top_k_block_invariant(ray_session):
+    """The mergeable partial prune is sound: result is identical when the
+    input arrives as many tiny blocks (every block prunes independently)."""
+    import ray.data
+
+    from ecg_feature_engineering_ray.stages.groupagg import per_group_top_k
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 13, n).astype(str)),
+        "score": pa.array(rng.integers(-1000, 1000, n)),
+        "id": pa.array(np.arange(n)),
+    })
+
+    def run(num_blocks):
+        ds = ray.data.from_arrow(tbl).repartition(num_blocks)
+        out = per_group_top_k(ds, "g", ["score", "id"], 7, 4,
+                              rank_name="r").to_pandas()
+        return out.sort_values(["g", "r"]).reset_index(drop=True)
+
+    a, b = run(1), run(64)
+    assert a.equals(b)
+    brute = (
+        tbl.to_pandas().sort_values(["g", "score", "id"])
+        .groupby("g").head(7).reset_index(drop=True)
+    )
+    brute["r"] = brute.groupby("g").cumcount() + 1
+    assert a[["g", "score", "id", "r"]].equals(
+        brute.sort_values(["g", "r"]).reset_index(drop=True)[["g", "score", "id", "r"]]
+    )
+
+
+def test_grouped_quantiles_vs_numpy(ray_session):
+    """value_quantiles_by_type == numpy linear-interpolated percentiles over
+    the cents-scaled values (independent of the SQL oracle), and the
+    count-merge spine never ships rows: each partial is (group, cent, n)."""
+    out = _df("value_quantiles_by_type").set_index("event_type")
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["cent"] = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        got = out.loc[et]
+        assert got["n_events"] == len(g)
+        for q in (25, 50, 75, 90):
+            want = np.percentile(g["cent"].to_numpy(dtype=np.float64), q,
+                                 method="linear") / 100.0
+            assert abs(got[f"p{q}"] - want) < 5e-7, (et, q)
