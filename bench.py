@@ -72,7 +72,7 @@ PROFILES = {
         # 2026-08-18), and room for 5 rounds where 3 fit before.  The
         # efficiency ratio is unaffected: both arms share the same (warmup-
         # amortized) fixed costs and the profile stays compute-dominated.
-        "queries": 48000,
+        "queries": int(os.environ.get("GRAFT_SCALING_QUERIES", "48000")),
         "median_events": 2400,
         "sigma": 0.3,
         "dims": (32,),
@@ -454,9 +454,43 @@ def run_scaling() -> dict:
     # window landing on the LO arm only deflates the ratio (r2 recorded
     # rounds of 0.95 and 0.74 and reported 0.75).  Every raw run is still
     # recorded below.
+    # Capacity gate: this VM's deliverable parallel capacity swings on a
+    # 5-10 min timescale (observed 2026-08-18: 16-worker no-Ray kernel
+    # efficiency 0.59-1.0 across a morning) — a paired round launched into
+    # a trough measures the HOST's core-withdrawal, not the engine, in
+    # either direction (deflated when the hi arm is starved, inflated when
+    # the lo arm is).  Before each round, probe the hi-arm worker count
+    # with the ~4 s no-Ray kernel aggregate; if the window can't deliver
+    # ``min_cap`` of the advertised cores, wait and re-probe, up to a
+    # TOTAL wait budget across the whole run (bounded worst case: after
+    # the budget is spent, rounds proceed unconditionally).  Probes are
+    # pre-registered (the gate never sees engine numbers, only the no-Ray
+    # kernel) and every probe is recorded in the JSON.
+    min_cap = float(os.environ.get("GRAFT_SCALING_MIN_CAP", "0.78"))
+    wait_budget_s = float(os.environ.get("GRAFT_SCALING_WAIT_BUDGET_S", "1500"))
+    probe_sleep_s = float(os.environ.get("GRAFT_SCALING_PROBE_SLEEP_S", "90"))
+    capacity_probes: list[dict] = []
+
+    def capacity_gate() -> None:
+        nonlocal wait_budget_s
+        while True:
+            single = calib_sampen_per_s(target_s=1.0)
+            par = calib_parallel(single, workers=hi_cpus, target_s=2.0)
+            eff = par.get("efficiency")
+            capacity_probes.append({"single": single, "workers": hi_cpus,
+                                    "agg": par.get("agg_sampen_per_s"),
+                                    "efficiency": eff,
+                                    "waited_remaining_s": round(wait_budget_s, 1)})
+            if eff is None or eff >= min_cap or wait_budget_s <= 0:
+                return
+            sleep = min(probe_sleep_s, wait_budget_s)
+            wait_budget_s -= sleep
+            time.sleep(sleep)
+
     rounds: list[dict] = []
     runs: dict[int, list] = {lo_cpus: [], hi_cpus: []}
     for i in range(repeats):
+        capacity_gate()
         order = (hi_cpus, lo_cpus) if i % 2 == 0 else (lo_cpus, hi_cpus)
         got = {}
         for cpus in order:
@@ -515,6 +549,9 @@ def run_scaling() -> dict:
             str(c): [(r.get("calib_parallel") or {}).get("agg_sampen_per_s") for r in rs]
             for c, rs in runs.items()
         },
+        "capacity_probes": capacity_probes,
+        "capacity_gate": {"min_cap": min_cap,
+                          "wait_budget_left_s": round(wait_budget_s, 1)},
         "profile": "scaling",
         "sf": SF_DIR,
     }
