@@ -471,7 +471,10 @@ def run_scaling() -> dict:
     probe_sleep_s = float(os.environ.get("GRAFT_SCALING_PROBE_SLEEP_S", "90"))
     capacity_probes: list[dict] = []
 
-    def capacity_gate() -> None:
+    def capacity_gate() -> bool:
+        """Wait (within budget) for a window whose kernel probe clears
+        ``min_cap``; returns True when the round launches after a passing
+        probe, False when it proceeds only because the budget ran out."""
         nonlocal wait_budget_s
         while True:
             single = calib_sampen_per_s(target_s=1.0)
@@ -481,8 +484,10 @@ def run_scaling() -> dict:
                                     "agg": par.get("agg_sampen_per_s"),
                                     "efficiency": eff,
                                     "waited_remaining_s": round(wait_budget_s, 1)})
-            if eff is None or eff >= min_cap or wait_budget_s <= 0:
-                return
+            if eff is None or eff >= min_cap:
+                return True
+            if wait_budget_s <= 0:
+                return False
             sleep = min(probe_sleep_s, wait_budget_s)
             wait_budget_s -= sleep
             time.sleep(sleep)
@@ -490,7 +495,7 @@ def run_scaling() -> dict:
     rounds: list[dict] = []
     runs: dict[int, list] = {lo_cpus: [], hi_cpus: []}
     for i in range(repeats):
-        capacity_gate()
+        gate_passed = capacity_gate()
         order = (hi_cpus, lo_cpus) if i % 2 == 0 else (lo_cpus, hi_cpus)
         got = {}
         for cpus in order:
@@ -502,6 +507,7 @@ def run_scaling() -> dict:
             "eff": round(hi / (lo * (hi_cpus / lo_cpus)), 3),
             "rows_per_s": {str(lo_cpus): lo, str(hi_cpus): hi},
             "order": list(order),
+            "gate_passed": gate_passed,
         }
         # Capacity-normalized efficiency: each arm measures its OWN no-Ray
         # kernel aggregate at its worker count (calib_parallel, computed in
@@ -538,6 +544,7 @@ def run_scaling() -> dict:
         "rows_per_s": mid["rows_per_s"],
         "per_round_efficiency": [r["eff"] for r in rounds],
         "per_round_eff_capacity": [r.get("eff_capacity") for r in rounds],
+        "per_round_gate_passed": [bool(r.get("gate_passed")) for r in rounds],
         "value_capacity_normalized": (
             round(statistics.median(v for v in (r.get("eff_capacity") for r in rounds) if v), 3)
             if any(r.get("eff_capacity") for r in rounds) else None
@@ -552,6 +559,22 @@ def run_scaling() -> dict:
         "capacity_probes": capacity_probes,
         "capacity_gate": {"min_cap": min_cap,
                           "wait_budget_left_s": round(wait_budget_s, 1)},
+        # one-look summary of what the HOST delivered during the run: the
+        # probe kernel is pure numpy with zero coordination, so its 16-worker
+        # efficiency is an upper bound on ANY engine's raw ratio in the same
+        # window.  gate_met=False means every round ran in a window where the
+        # host itself could not scale past min_cap — read
+        # value_capacity_normalized (per-arm kernel calibration, measured
+        # inside each arm before ray.init) as the engine signal then.
+        "host_capacity_summary": {
+            "probe_efficiency_median": round(
+                statistics.median(p["efficiency"] for p in capacity_probes), 3
+            ) if capacity_probes else None,
+            "probe_efficiency_min": min((p["efficiency"] for p in capacity_probes), default=None),
+            "probe_efficiency_max": max((p["efficiency"] for p in capacity_probes), default=None),
+            "rounds_gate_passed": sum(1 for r in rounds if r.get("gate_passed")),
+            "gate_met": all(r.get("gate_passed") for r in rounds),
+        },
         "profile": "scaling",
         "sf": SF_DIR,
     }
@@ -587,6 +610,14 @@ if __name__ == "__main__":
             try:
                 res["scaling"] = run_scaling()
                 res["scaling_efficiency"] = res["scaling"]["value"]
+                # top-level companions so the headline is readable without
+                # digging: the raw median is the pre-registered headline; in
+                # a window where the host itself cannot scale the no-Ray
+                # probe kernel past min_cap (gate_met False), the per-arm
+                # kernel-capacity-normalized median is the engine signal.
+                res["scaling_efficiency_capacity_normalized"] = res["scaling"].get(
+                    "value_capacity_normalized")
+                res["scaling_host_capacity"] = res["scaling"].get("host_capacity_summary")
             except Exception as e:  # never lose the suite numbers to a scaling failure
                 res["scaling"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         print(json.dumps(res))
