@@ -3789,3 +3789,136 @@ def top_docs_per_lang(sf_dir: str, k: int = _TOPDOC_K):
         .select_columns(["lang", "doc_id", "n_chars", "len_rank"])
         .sort(["lang", "len_rank"])
     )
+
+
+def _doc_term_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, term, cnt) over whitespace tokens — Arrow
+    split/flatten + hash-aggregate, no Python token loop.  Each document
+    lives wholly inside one input row, so per-batch counts ARE the final
+    per-document counts (nothing to merge across batches)."""
+    split = pc.split_pattern(batch.column("text"), " ")
+    lens = pc.list_value_length(split).combine_chunks().to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(split)
+    doc_rep = np.repeat(
+        batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False), lens
+    )
+    t = pa.table({"doc_id": pa.array(doc_rep), "term": flat})
+    t = t.filter(pc.not_equal(t.column("term"), ""))
+    g = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+    return pa.table({
+        "doc_id": g.column("doc_id"),
+        "term": g.column("term"),
+        "cnt": g.column("term_count").cast(pa.int64()),
+    })
+
+
+_TFIDF_K = 3
+_TFIDF_MAX_VOCAB = 4_000_000
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    doclen AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n_live FROM tok GROUP BY doc_id),
+    df AS (SELECT term, count(*) AS dfc FROM tok GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tok.doc_id, tok.term,
+             (tok.cnt / doclen.n_live) * ln(n.n_docs / df.dfc) AS s
+      FROM tok JOIN doclen USING (doc_id) JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, ROUND(s, 6) AS tfidf, CAST(rn AS BIGINT) AS term_rank
+    FROM ranked WHERE rn <= {_TFIDF_K}
+    """,
+)
+def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K,
+                    max_vocab: int = _TFIDF_MAX_VOCAB):
+    """Corpus TF-IDF, top-k terms per document — the keyword-extraction /
+    boilerplate-weighting pass a training-data pipeline runs after language
+    ID (reference analog: the per-record class-frequency weighting of
+    preprocess-300hz.py:133-141 generalized to an open token vocabulary).
+
+    Two passes over the corpus, Spark-MLlib-shaped (fit IDF, then
+    transform):
+
+    1. **Document frequency** — per-batch distinct-terms-per-doc
+       (hash-aggregate) collapse to (term, partial-df) rows, then ONE
+       vocabulary-sized ``groupby(term).sum`` exchange: O(vocab × blocks)
+       rows ship, never a token stream.  A document never spans batches,
+       so partial dfs sum exactly.
+    2. **Score + select** — the finished (term → df) map is broadcast once
+       (``ray.put``, zero-copy read per task) and each batch computes
+       tf·idf and its own per-document top-k entirely locally: per-doc
+       top-k needs no shuffle because every document's terms sit in one
+       batch.
+
+    The broadcast is the documented smallness assumption: vocabulary must
+    fit a worker heap, enforced fail-loud at ``max_vocab`` rows (same
+    pattern as the LSH bucket caps).  An open 100-TB vocabulary swaps pass
+    2's broadcast for a salted token-keyed shuffle join; the df aggregate
+    (pass 1) is already scale-free.  Float op order mirrors the oracle SQL
+    exactly: ``(cnt / n_live) * ln(n_docs / df)`` in float64."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        g = _doc_term_counts(batch)
+        d = g.group_by("term").aggregate([("doc_id", "count")])
+        return pa.table({
+            "term": d.column("term"),
+            "df_part": d.column("doc_id_count").cast(pa.int64()),
+        })
+
+    df_ds = (
+        ds.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term").sum("df_part").materialize()
+    )
+    n_vocab = df_ds.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary {n_vocab} exceeds the broadcast bound max_vocab="
+            f"{max_vocab}: route pass 2 through the token-keyed shuffle join "
+            "instead of the IDF broadcast"
+        )
+    vocab = pa.concat_tables(ray.get(df_ds.to_arrow_refs()))
+    terms_ref = ray.put(vocab.column("term").combine_chunks())
+    df_ref = ray.put(
+        vocab.column("sum(df_part)").combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        g = _doc_term_counts(batch)
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf": pa.array([], pa.float64()),
+                             "term_rank": pa.array([], pa.int64())})
+        pdf = g.to_pandas()
+        n_live = pdf.groupby("doc_id")["cnt"].transform("sum").to_numpy(dtype=np.float64)
+        idx = pc.index_in(g.column("term"), value_set=ray.get(terms_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        dfc = ray.get(df_ref)[idx]
+        pdf["s"] = (pdf["cnt"].to_numpy(dtype=np.float64) / n_live) * np.log(n_docs / dfc)
+        pdf = pdf.sort_values(["doc_id", "s", "term"], ascending=[True, False, True])
+        top = pdf.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        rank = top.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        return pa.table({
+            "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64)),
+            "term": pa.array(top["term"], pa.string()),
+            "tfidf": pa.array(rnd(top["s"].to_numpy())),
+            "term_rank": pa.array(rank.astype(np.int64)),
+        })
+
+    return ds.map_batches(score_topk, batch_format="pyarrow", zero_copy_batch=True)
