@@ -3922,3 +3922,205 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K,
         })
 
     return ds.map_batches(score_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "dup_clusters",
+    """
+    WITH RECURSIVE wins AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 16)), 1, 16))::UBIGINT
+               % 4294967296 AS h
+      FROM documents, range(1, 4097) t(i)
+      WHERE i <= length(text) - 15
+    ),
+    kept AS (SELECT DISTINCT doc_id, h FROM wins WHERE h % 8 = 0),
+    roots AS (SELECT h, min(doc_id) AS root FROM kept GROUP BY h),
+    edges AS (
+      SELECT DISTINCT k.doc_id AS u, r.root AS v
+      FROM kept k JOIN roots r USING (h) WHERE k.doc_id <> r.root
+    ),
+    und AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    nodes AS (SELECT DISTINCT u AS id FROM und),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.u, reach.r FROM und e JOIN reach ON e.v = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+    SELECT doc_id, canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+)
+def dup_clusters(sf_dir: str, max_rounds: int = 64):
+    """Near-dup CLUSTERING: connected components over the shared-winnowing-
+    fingerprint graph, canonical (min doc_id) representative per cluster —
+    the step after pair generation in a production dedup pass (pick one doc
+    per duplicate cluster, drop the rest).  Reference analog: the O7 dedup
+    intent (xgboost_clf.py:128) carried through to cluster resolution.
+
+    Scale shape:
+    - **Star edges, not cliques**: each fingerprint bucket contributes
+      (doc → bucket-min-doc) edges — O(bucket size) rows per bucket where
+      the naive pair expansion is O(size²) — built with segment arithmetic
+      on the `grouped_sorted_apply` hash-bucket spine (no per-group
+      dispatch).  Star edges preserve connectivity exactly.
+    - **Local contraction per round**: each round buckets the edge list
+      (+ current labels) by node and runs a VECTORIZED min-label /
+      pointer-jumping fixpoint over the whole bucket subgraph
+      (``np.minimum.at`` relaxation, searchsorted label chasing) — so a
+      global round collapses everything locally connected inside a
+      bucket, and the number of GLOBAL rounds is the diameter of the
+      contracted bucket graph (2-3 in practice), not of the document
+      graph.  Cross-bucket merge is one ``groupby(node).min`` of the
+      per-bucket emissions, O(vertices × buckets-touched) rows.
+    - **Iteration state stays tiny and native**: per-round state is
+      (node, label) pairs — orders of magnitude smaller than the corpus —
+      merged with Ray's native sort-groupby (the partial/final
+      ``grouped_agg`` spine would pay corpus-scale machinery for nothing
+      here; measured ~5× the fixed cost on iteration-sized data).  Labels
+      decrease monotonically, so the global label sum (one native
+      ``sum()``) is the convergence test, fail-loud at ``max_rounds``.
+
+    The DuckDB oracle computes the same components by recursive transitive
+    closure — tractable there because oracle fixtures have small clusters;
+    the engine path never enumerates reachability sets."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fps(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        hs: list[int] = []
+        ds_: list[int] = []
+        for i, t in zip(ids, texts):
+            _guard_oracle_cap(len(t) - 15, 4096, "dup_clusters window count")
+            if 0 < len(t) < 16:
+                raise ValueError(
+                    f"dup_clusters: text shorter than the 16-char window "
+                    f"(len={len(t)}) is outside the oracle contract"
+                )
+            f = T.rolling_fingerprint(t)
+            hs.extend(f)
+            ds_.extend([i] * len(f))
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "doc_id": pa.array(ds_, pa.int64())})
+
+    fp_rows = ds.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
+
+    def star(tbl: pa.Table) -> pa.Table:
+        h = np.asarray(tbl.column("h").combine_chunks())
+        d = np.asarray(tbl.column("doc_id").combine_chunks())
+        if len(h) == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        new_seg = np.r_[True, h[1:] != h[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        roots = d[np.flatnonzero(new_seg)][seg_id]  # min doc per h (sorted)
+        m = d != roots
+        return pa.table({"u": pa.array(d[m]), "v": pa.array(roots[m])})
+
+    edges = (
+        grouped_sorted_apply(fp_rows, "h", ["doc_id"], star, NB)
+        .groupby(["u", "v"]).count()
+        .drop_columns(["count()"]).materialize()
+    )
+    if edges.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "canonical_id": pa.array([], pa.int64()),
+                         "cluster_size": pa.array([], pa.int64())})
+
+    def swap(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b.column("v"), "v": b.column("u")})
+
+    und = edges.union(edges.map_batches(swap, batch_format="pyarrow",
+                                        zero_copy_batch=True)).materialize()
+
+    def tag_lab(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column("node"), "tag": pa.array(np.zeros(b.num_rows, np.int8)),
+            "val": b.column("min(val)"), "dst": b.column("node"),
+        })
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column("u"), "tag": pa.array(np.ones(b.num_rows, np.int8)),
+            "val": pa.array(np.zeros(b.num_rows, np.int64)), "dst": b.column("v"),
+        })
+
+    def prop(tbl: pa.Table) -> pa.Table:
+        """Local connected components over this bucket's subgraph: min-label
+        relaxation along edges + pointer jumping through label ids that are
+        themselves local vertices, iterated to the LOCAL fixpoint (all
+        numpy; rounds of the inner loop collapse chains exponentially)."""
+        k = np.asarray(tbl.column("key").combine_chunks())
+        tag = np.asarray(tbl.column("tag").combine_chunks())
+        val = np.asarray(tbl.column("val").combine_chunks())
+        dst = np.asarray(tbl.column("dst").combine_chunks())
+        if len(k) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        is_lab = tag == 0
+        e = ~is_lab
+        ids = np.unique(np.concatenate([k, dst, val[is_lab]]))
+        lab = ids.copy()  # start from self-label
+        # seed known labels (grouped min from the previous round)
+        li = np.searchsorted(ids, k[is_lab])
+        np.minimum.at(lab, li, val[is_lab])
+        ui = np.searchsorted(ids, k[e])
+        vi = np.searchsorted(ids, dst[e])
+        while True:
+            before = lab.sum()
+            np.minimum.at(lab, ui, lab[vi])  # relax both edge directions
+            np.minimum.at(lab, vi, lab[ui])
+            pos = np.searchsorted(ids, lab)  # chase labels that are local
+            ok = ids[np.minimum(pos, len(ids) - 1)] == lab
+            lab[ok] = lab[pos[ok]]
+            if lab.sum() == before:
+                break
+        return pa.table({"node": pa.array(ids), "val": pa.array(lab)})
+
+    labels = None  # (node, "min(val)") Dataset; round 1 derives from edges
+    prev_sum = None
+    for _ in range(max_rounds):
+        tagged = und.map_batches(tag_edge, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        if labels is not None:
+            tagged = tagged.union(labels.map_batches(
+                tag_lab, batch_format="pyarrow", zero_copy_batch=True))
+        msgs = grouped_sorted_apply(tagged, "key", ["tag"], prop, NB)
+        labels = msgs.groupby("node").min("val").materialize()
+        s = int(labels.sum("min(val)"))
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(
+            f"dup_clusters: label propagation did not converge in {max_rounds} "
+            "rounds — component diameter exceeds the bound; raise max_rounds "
+            "or switch to large-star/small-star"
+        )
+
+    named = labels.map_batches(
+        lambda b: pa.table({"node": b.column("node"), "label": b.column("min(val)")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        lab = np.asarray(tbl.column("label").combine_chunks())
+        node = np.asarray(tbl.column("node").combine_chunks())
+        if len(lab) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "canonical_id": pa.array([], pa.int64()),
+                             "cluster_size": pa.array([], pa.int64())})
+        new_seg = np.r_[True, lab[1:] != lab[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        counts = np.diff(np.r_[starts, len(lab)])
+        return pa.table({
+            "doc_id": pa.array(node),
+            "canonical_id": pa.array(lab),
+            "cluster_size": pa.array(counts[seg_id].astype(np.int64)),
+        })
+
+    return grouped_sorted_apply(named, "label", ["node"], finalize, NB)
