@@ -126,6 +126,13 @@ SKETCH_SUITE = [
     "value_quantiles_by_type",
 ]
 
+# late-round-4 corpus analytics (two-pass TF-IDF, iterative connected-
+# components dedup clustering) — separate block, same rationale
+CORPUS_SUITE = [
+    "tfidf_top_terms",
+    "dup_clusters",
+]
+
 
 def fixture_dirs(prof: dict) -> tuple[str, str]:
     """Bench fixture (cached across runs — generation is deterministic)."""
@@ -368,6 +375,7 @@ def run_suite() -> dict:
     q_times: dict[str, float] = {}
     nd_times: dict[str, float] = {}
     sk_times: dict[str, float] = {}
+    cp_times: dict[str, float] = {}
     if prof["run_suite"]:
         for name in SUITE:
             t0 = time.time()
@@ -391,15 +399,23 @@ def run_suite() -> dict:
             if hasattr(res, "count"):
                 res.count()
             sk_times[name] = round(time.time() - t0, 3)
+        for name in CORPUS_SUITE:
+            t0 = time.time()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            cp_times[name] = round(time.time() - t0, 3)
 
     total = round(sum(q_times.values()) + flagship_s, 3)
     result = {
         "metric": "as-of join + window-feature rows/sec (flagship PIT pipeline) + operator suite wall time",
         "value": total,
         "unit": "sec",
-        "queries": {**q_times, **nd_times, **sk_times, "flagship_pit": round(flagship_s, 3)},
+        "queries": {**q_times, **nd_times, **sk_times, **cp_times,
+                    "flagship_pit": round(flagship_s, 3)},
         "neardup_suite_s": round(sum(nd_times.values()), 3),
         "sketch_suite_s": round(sum(sk_times.values()), 3),
+        "corpus_suite_s": round(sum(cp_times.values()), 3),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "profile": PROFILE,
