@@ -27,7 +27,7 @@ from ..functions.stats import percentiles
 from ..sources.readers import read_table
 from ..stages.asof import asof_join, asof_self_join
 from ..stages.groupagg import global_agg, grouped_agg, per_group_top_k
-from ..stages.joins import broadcast_join
+from ..stages.joins import broadcast_join, broadcast_range_join, shuffle_join
 from ..stages.partition import entity_segments, grouped_sorted_apply
 from ..stages.session import session_segments
 from ..stages.window import _row_entity_start, _row_entity_end, lag_column, lead_column, rolling_mean, prefix_mean
@@ -4124,3 +4124,113 @@ def dup_clusters(sf_dir: str, max_rounds: int = 64):
         })
 
     return grouped_sorted_apply(named, "label", ["node"], finalize, NB)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 J5: large × large shuffle equi-join (neither side broadcastable)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_late_shipments",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS days_to_ship
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    """,
+)
+def join_late_shipments(sf_dir: str):
+    """Row-level gate for the big×big shuffle hash join (stages/joins.py
+    shuffle_join): every joined row is hash-compared, not just an aggregate.
+    Both fact tables are pruned at the read to the 3-4 columns carried."""
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = shuffle_join(
+        lineitem, orders, on="l_orderkey",
+        left_cols=["l_linenumber", "l_shipdate"],
+        right_cols=["o_orderdate", "o_orderpriority"],
+        num_buckets=NB,
+    )
+
+    def late_only(batch: pa.Table) -> pa.Table:
+        # timestamps are midnight-aligned (TESTDATA.md) so the us-diff is an
+        # exact whole number of days — identical to SQL date_diff('day')
+        ship = np.asarray(batch.column("l_shipdate").combine_chunks().cast(pa.int64()))
+        od = np.asarray(batch.column("o_orderdate").combine_chunks().cast(pa.int64()))
+        days = (ship - od) // 86_400_000_000
+        keep = days > 60
+        out = batch.filter(pa.array(keep)).select(
+            ["l_orderkey", "l_linenumber", "o_orderpriority"]
+        )
+        return out.append_column("days_to_ship", pa.array(days[keep], pa.int64()))
+
+    return joined.map_batches(late_only, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "join_priority_revenue",
+    """
+    SELECT o.o_orderpriority, l.l_returnflag,
+           count(*) AS n_items,
+           ROUND(sum(ROUND(l.l_extendedprice * 100)) / 100, 6) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority, l.l_returnflag
+    """,
+)
+def join_priority_revenue(sf_dir: str):
+    """Shuffle join feeding a partial-agg: the 100-TB shape is join exchange
+    → Arrow partial combine inside map_batches → tiny groups shuffle."""
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = shuffle_join(
+        lineitem, orders, on="l_orderkey",
+        left_cols=["l_returnflag", "l_extendedprice"],
+        right_cols=["o_orderpriority"],
+        num_buckets=NB,
+    )
+    return grouped_agg(
+        joined, ["o_orderpriority", "l_returnflag"],
+        {"n_items": ("*", "count"), "revenue": ("l_extendedprice", "sum_cents")},
+        round_to=6,
+    )
+
+
+@register(
+    "price_band_revenue",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('budget',       0.0,   20000.0),
+      ('mid',      20000.0,   60000.0),
+      ('premium',  60000.0,   90000.0),
+      ('luxury',   90000.0, 1000000.0))
+    SELECT b.band, count(*) AS n_items,
+           ROUND(sum(ROUND(l.l_extendedprice * 100)) / 100, 6) AS revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def price_band_revenue(sf_dir: str):
+    """Range (interval-containment) join against a broadcast band dimension
+    (stages/joins.broadcast_range_join): one searchsorted per batch, no
+    shuffle until the 4-group aggregate."""
+    bands = pa.table({
+        "band": ["budget", "mid", "premium", "luxury"],
+        "lo": [0.0, 20000.0, 60000.0, 90000.0],
+        "hi": [20000.0, 60000.0, 90000.0, 1000000.0],
+    })
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    banded = broadcast_range_join(lineitem, "l_extendedprice", bands)
+    return grouped_agg(
+        banded, ["band"],
+        {"n_items": ("*", "count"), "revenue": ("l_extendedprice", "sum_cents")},
+        round_to=6,
+    )

@@ -17,6 +17,7 @@ the ``index2del`` skip list (:93-99).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -73,3 +74,178 @@ def broadcast_join(
         return batch
 
     return big.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Large × large shuffle hash join
+# ---------------------------------------------------------------------------
+
+def _null_sentinel(t: pa.DataType):
+    """Bucket-routing value for null join keys (semantics unaffected — the
+    real key column keeps its nulls; this only picks a deterministic home
+    bucket for how='left' pass-through rows)."""
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+        return 0
+    return ""
+
+
+def shuffle_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    num_buckets: int = 64,
+    hot_keys: list | None = None,
+    suffix: str = "_r",
+    **map_groups_kwargs,
+) -> Dataset:
+    """Distributed equi-join of two big Datasets — neither side broadcast.
+
+    The big×big case ``broadcast_join`` can't serve (at production scale
+    neither fact table fits one node): both sides are tagged, null-padded to
+    a common schema and unioned, then ONE hash-bucket exchange on the join
+    key co-locates every key's rows (the same `grouped_sorted_apply` spine
+    as the as-of join, so skewed keys reuse `hot_keys` isolation), and each
+    bucket runs a vectorized Arrow hash join (`pa.Table.join`, Acero) on its
+    two sides.  Duplicate keys on BOTH sides are fine (full m×n expansion
+    per key, standard SQL semantics).
+
+    how ∈ {'inner', 'left'}.  ``left_cols``/``right_cols`` are the payload
+    columns to carry (prune at the read — a join that ships all columns is
+    wrong at 100 TB).  Right payload columns whose names collide with left
+    ones are renamed with ``suffix``.  Null join keys never match (SQL
+    semantics); with how='left' null-key left rows are still emitted.
+
+    Partitioning assumption: one key's rows fit in one bucket's memory —
+    for a key hot enough to break that, pre-split with ``hot_keys`` (own
+    bucket) or fall back to ``broadcast_join`` for the small side of that
+    key.  Reference analog: the record↔label merge over full tables
+    (/root/reference/challenge2020/preprocess/preprocess-300hz.py:142-152)
+    generalized to fact×fact scale.
+    """
+    from .asof import SIDE_COL  # noqa: PLC0415
+    from .partition import grouped_sorted_apply  # noqa: PLC0415
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"shuffle_join: how={how!r} not in ('inner', 'left')")
+    left_cols = [c for c in left_cols if c != on]
+    right_cols = [c for c in right_cols if c != on]
+    # output name per right payload column (collision → suffix)
+    right_out = {c: (c + suffix if c in left_cols else c) for c in right_cols}
+
+    lt_types = {c: left.schema().base_schema.field(c).type for c in left_cols}
+    rt_types = {c: right.schema().base_schema.field(c).type for c in right_cols}
+    key_t = left.schema().base_schema.field(on).type
+
+    # Null join keys never match, so null-key RIGHT rows are dropped at the
+    # tag (inner-side too): they can contribute nothing.  Null-key LEFT rows
+    # survive only under how='left'; they hash through a null-coalesced
+    # shadow key (__jk) so bucket assignment never casts a null.
+    jk = "__jk"
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key = batch.column(on).cast(key_t)
+        if how == "inner":
+            valid = pc.is_valid(key)
+            batch = batch.filter(valid)
+            key = key.filter(valid)
+        cols = {on: key, jk: pc.fill_null(key, _null_sentinel(key_t))}
+        for c in left_cols:
+            cols[c] = batch.column(c)
+        for c in right_cols:
+            cols[right_out[c]] = pa.nulls(batch.num_rows, rt_types[c])
+        cols[SIDE_COL] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        key = batch.column(on).cast(key_t)
+        valid = pc.is_valid(key)
+        batch = batch.filter(valid)
+        key = key.filter(valid)
+        cols = {on: key, jk: key}
+        for c in left_cols:
+            cols[c] = pa.nulls(batch.num_rows, lt_types[c])
+        for c in right_cols:
+            cols[right_out[c]] = batch.column(c)
+        cols[SIDE_COL] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+    out_names = [on] + left_cols + [right_out[c] for c in right_cols]
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        side = np.asarray(tbl.column(SIDE_COL).combine_chunks())
+        lmask = side == 1
+        ltbl = tbl.filter(pa.array(lmask)).select([on] + left_cols)
+        rtbl = tbl.filter(pa.array(~lmask)).select([on] + [right_out[c] for c in right_cols])
+        # Null-key rows were stripped at the tag except left-side under
+        # how='left' — Acero's left-outer join emits those unmatched (the
+        # right build side holds no nulls to spuriously match).
+        joined = ltbl.join(rtbl, keys=[on], join_type=join_type)
+        # deterministic per-bucket order (Acero join order is nondet)
+        return joined.select(out_names).sort_by([(c, "ascending") for c in out_names])
+
+    return grouped_sorted_apply(
+        unioned, jk, [SIDE_COL], per_bucket, num_buckets, hot_keys=hot_keys,
+        **map_groups_kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast range (band) join
+# ---------------------------------------------------------------------------
+
+def broadcast_range_join(
+    big: Dataset,
+    col: str,
+    bands: pa.Table,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "inner",
+) -> Dataset:
+    """Join each row to the band whose ``[lo, hi)`` interval contains
+    ``row[col]`` — the range-predicate join Ray Data lacks (J2 analog for
+    interval dimensions: price bands, age brackets, severity tiers).
+
+    ``bands`` must be non-overlapping; it is validated once, sorted by
+    ``lo``, broadcast once (`ray.put`), and every batch resolves membership
+    with one `np.searchsorted` against the lo-edges plus an upper-bound
+    check — O(n log b) per batch, no shuffle, no per-row Python.
+
+    how='inner' drops rows outside every band; how='left' keeps them with
+    null band attributes.  Band payload = all columns except lo/hi.
+    """
+    bands = bands.combine_chunks().sort_by([(lo, "ascending")])
+    lo_v = np.asarray(bands.column(lo), dtype=np.float64)
+    hi_v = np.asarray(bands.column(hi), dtype=np.float64)
+    if np.any(hi_v <= lo_v) or np.any(lo_v[1:] < hi_v[:-1]):
+        raise ValueError("broadcast_range_join: bands must be non-empty and non-overlapping")
+    payload = [c for c in bands.column_names if c not in (lo, hi)]
+    bands_ref = ray.put(bands)
+
+    def band_batch(batch: pa.Table) -> pa.Table:
+        btbl = ray.get(bands_ref)
+        lo_e = np.asarray(btbl.column(lo), dtype=np.float64)
+        hi_e = np.asarray(btbl.column(hi), dtype=np.float64)
+        x_arr = batch.column(col).combine_chunks()
+        x = np.asarray(x_arr.cast(pa.float64()))
+        idx = np.searchsorted(lo_e, x, side="right") - 1
+        valid = (idx >= 0) & np.asarray(pc.is_valid(x_arr))
+        idx_c = np.clip(idx, 0, len(lo_e) - 1)
+        valid &= x < hi_e[idx_c]
+        if how == "inner":
+            batch = batch.filter(pa.array(valid))
+            take = pa.array(idx_c[valid], pa.int64())
+        else:
+            # null index → null gather (Arrow take semantics)
+            take = pa.array(np.where(valid, idx_c, 0), pa.int64(), mask=~valid)
+        for c in payload:
+            batch = batch.append_column(c, btbl.column(c).combine_chunks().take(take))
+        return batch
+
+    return big.map_batches(band_batch, batch_format="pyarrow", zero_copy_batch=True)
