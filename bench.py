@@ -133,6 +133,13 @@ CORPUS_SUITE = [
     "dup_clusters",
 ]
 
+# round-4 join operators (big×big shuffle equi-join, broadcast range join)
+JOIN_SUITE = [
+    "join_late_shipments",
+    "join_priority_revenue",
+    "price_band_revenue",
+]
+
 
 def fixture_dirs(prof: dict) -> tuple[str, str]:
     """Bench fixture (cached across runs — generation is deterministic)."""
@@ -376,6 +383,7 @@ def run_suite() -> dict:
     nd_times: dict[str, float] = {}
     sk_times: dict[str, float] = {}
     cp_times: dict[str, float] = {}
+    jn_times: dict[str, float] = {}
     if prof["run_suite"]:
         for name in SUITE:
             t0 = time.time()
@@ -405,17 +413,24 @@ def run_suite() -> dict:
             if hasattr(res, "count"):
                 res.count()
             cp_times[name] = round(time.time() - t0, 3)
+        for name in JOIN_SUITE:
+            t0 = time.time()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            jn_times[name] = round(time.time() - t0, 3)
 
     total = round(sum(q_times.values()) + flagship_s, 3)
     result = {
         "metric": "as-of join + window-feature rows/sec (flagship PIT pipeline) + operator suite wall time",
         "value": total,
         "unit": "sec",
-        "queries": {**q_times, **nd_times, **sk_times, **cp_times,
+        "queries": {**q_times, **nd_times, **sk_times, **cp_times, **jn_times,
                     "flagship_pit": round(flagship_s, 3)},
         "neardup_suite_s": round(sum(nd_times.values()), 3),
         "sketch_suite_s": round(sum(sk_times.values()), 3),
         "corpus_suite_s": round(sum(cp_times.values()), 3),
+        "join_suite_s": round(sum(jn_times.values()), 3),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "profile": PROFILE,
