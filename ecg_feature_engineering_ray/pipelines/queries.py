@@ -27,7 +27,7 @@ from ..functions.stats import percentiles
 from ..sources.readers import read_table
 from ..stages.asof import asof_join, asof_self_join
 from ..stages.groupagg import global_agg, grouped_agg, per_group_top_k
-from ..stages.joins import broadcast_join, broadcast_range_join, shuffle_join
+from ..stages.joins import broadcast_join, broadcast_range_join, interval_join, shuffle_join
 from ..stages.partition import entity_segments, grouped_sorted_apply
 from ..stages.session import session_segments
 from ..stages.window import _row_entity_start, _row_entity_end, lag_column, lead_column, rolling_mean, prefix_mean
@@ -3890,7 +3890,17 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K,
             f"{max_vocab}: route pass 2 through the token-keyed shuffle join "
             "instead of the IDF broadcast"
         )
-    vocab = pa.concat_tables(ray.get(df_ds.to_arrow_refs()))
+    # a groupby output can contain zero-row blocks whose schema is empty —
+    # concat only the populated ones (sf0.1 @ 32 cpus hit this)
+    vocab_parts = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+    if not vocab_parts:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tfidf": pa.array([], pa.float64()),
+            "term_rank": pa.array([], pa.int64()),
+        }))
+    vocab = pa.concat_tables(vocab_parts)
     terms_ref = ray.put(vocab.column("term").combine_chunks())
     df_ref = ray.put(
         vocab.column("sum(df_part)").combine_chunks().to_numpy(zero_copy_only=False)
@@ -4234,3 +4244,43 @@ def price_band_revenue(sf_dir: str):
         {"n_items": ("*", "count"), "revenue": ("l_extendedprice", "sum_cents")},
         round_to=6,
     )
+
+
+@register(
+    "event_session_join",
+    SESSION_SQL_CTE
+    + """
+    , bounds AS (
+      SELECT user_id, session_id, count(*) AS session_n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT e.user_id, e.event_id, b.session_id, b.session_n_events
+    FROM events e JOIN bounds b
+      ON e.user_id = b.user_id AND e.ts BETWEEN b.session_start AND b.session_end
+    """,
+)
+def event_session_join(sf_dir: str):
+    """Two-input per-entity interval join (stages/joins.interval_join): the
+    session table (itself a distributed pipeline) becomes the interval side,
+    and every event is routed back to its enclosing session — the
+    'which segment does this row belong to' step of sessionized feature
+    engineering, big×big, one co-partitioned exchange."""
+    sessions = session_table(sf_dir)
+    events = _events(sf_dir, ["user_id", "ts", "event_id"])
+    out = interval_join(
+        events, sessions, key="user_id", left_ts="ts",
+        right_lo="session_start", right_hi="session_end",
+        left_cols=["event_id"], right_cols=["session_id", "n_events"],
+        closed="both", num_buckets=NB,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "session_id": batch.column("session_id"),
+            "session_n_events": batch.column("n_events"),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

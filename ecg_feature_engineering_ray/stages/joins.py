@@ -249,3 +249,154 @@ def broadcast_range_join(
         return batch
 
     return big.map_batches(band_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-entity interval (containment) join — big × big
+# ---------------------------------------------------------------------------
+
+def interval_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    closed: str = "both",
+    num_buckets: int = 64,
+    hot_keys: list | None = None,
+    suffix: str = "_r",
+    **map_groups_kwargs,
+) -> Dataset:
+    """Attach to each left row the right-side interval containing its
+    timestamp, per entity — the sessionized-segment lookup (which session
+    does this event/feature-row belong to?) as a distributed operator.
+
+    Both sides share ONE hash-bucket exchange on ``key`` (the
+    `grouped_sorted_apply` spine, sorted by [key, time, side]); per entity
+    segment the merge is a single `np.searchsorted` of left timestamps into
+    the interval ``lo`` edges plus an upper-bound check — O((n+m) log m) per
+    entity, no Python loop over rows.
+
+    Contract: intervals of one entity must be NON-OVERLAPPING (validated,
+    fail-loud — sessions/segments satisfy this by construction).  ``closed``
+    ∈ {'both' ([lo, hi], session bounds = first/last event ts), 'left'
+    ([lo, hi))}.  Null left timestamps and null interval bounds never match
+    (SQL BETWEEN semantics); how='left' keeps unmatched left rows with null
+    interval payload.
+
+    Reference analog: assigning each beat/window back to its enclosing
+    recording segment (extract_SHORT.py session rollups) — generalized to a
+    two-input distributed join.
+    """
+    from .asof import SIDE_COL  # noqa: PLC0415
+    from .partition import entity_segments, grouped_sorted_apply  # noqa: PLC0415
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: how={how!r} not in ('inner', 'left')")
+    if closed not in ("both", "left"):
+        raise ValueError(f"interval_join: closed={closed!r} not in ('both', 'left')")
+    left_cols = [c for c in left_cols if c != key]
+    right_cols = [c for c in right_cols if c != key]
+    right_out = {c: (c + suffix if c in left_cols or c == left_ts else c) for c in right_cols}
+
+    ts_t = pa.timestamp("us")
+    lt_types = {c: left.schema().base_schema.field(c).type for c in left_cols}
+    rt_types = {c: right.schema().base_schema.field(c).type for c in right_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        ts = batch.column(left_ts).cast(ts_t)
+        cols = {key: batch.column(key), "__t": ts,
+                "__hi": pa.nulls(batch.num_rows, ts_t)}
+        for c in left_cols:
+            cols[c] = batch.column(c)
+        for c in right_cols:
+            cols[right_out[c]] = pa.nulls(batch.num_rows, rt_types[c])
+        cols[SIDE_COL] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        lo = batch.column(right_lo).cast(ts_t)
+        hi = batch.column(right_hi).cast(ts_t)
+        # null-bounded intervals can never contain anything — drop at the tag
+        valid = pc.and_(pc.is_valid(lo), pc.is_valid(hi))
+        batch, lo, hi = batch.filter(valid), lo.filter(valid), hi.filter(valid)
+        cols = {key: batch.column(key), "__t": lo, "__hi": hi}
+        for c in left_cols:
+            cols[c] = pa.nulls(batch.num_rows, lt_types[c])
+        for c in right_cols:
+            cols[right_out[c]] = batch.column(c)
+        cols[SIDE_COL] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+    out_rcols = [right_out[c] for c in right_cols]
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        side = np.asarray(tbl.column(SIDE_COL).combine_chunks())
+        t_all = np.asarray(tbl.column("__t").cast(pa.int64()).combine_chunks())
+        hi_arr = tbl.column("__hi").cast(pa.int64()).combine_chunks()
+        hi_all = np.asarray(hi_arr.fill_null(0))
+        lt_valid = np.asarray(pc.is_valid(tbl.column("__t").combine_chunks()))
+        starts, ends = entity_segments(tbl, key)
+
+        take_left: list[np.ndarray] = []
+        take_right: list[np.ndarray] = []
+        keep_mask: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            seg_side = side[s:e]
+            l_loc = np.flatnonzero(seg_side == 1)
+            if l_loc.size == 0:
+                continue
+            r_loc = np.flatnonzero(seg_side == 0)
+            lts = t_all[s:e][l_loc]
+            rlo = t_all[s:e][r_loc]
+            rhi = hi_all[s:e][r_loc]
+            if r_loc.size:
+                if np.any(rhi < rlo) or np.any(rlo[1:] <= (rhi[:-1] if closed == "both" else rhi[:-1] - 1)):
+                    raise ValueError(
+                        f"interval_join: overlapping or inverted intervals for a key "
+                        f"(bucket segment rows {s}:{e})"
+                    )
+                idx = np.searchsorted(rlo, lts, side="right") - 1
+                safe = np.maximum(idx, 0)
+                inside = (idx >= 0) & (
+                    (lts <= rhi[safe]) if closed == "both" else (lts < rhi[safe])
+                )
+                inside &= lt_valid[s:e][l_loc]
+            else:
+                safe = np.zeros(l_loc.size, dtype=np.int64)
+                inside = np.zeros(l_loc.size, dtype=bool)
+            take_left.append(l_loc + s)
+            take_right.append(np.where(inside, r_loc[safe] + s if r_loc.size else 0, -1))
+            keep_mask.append(inside)
+
+        if not take_left:
+            return pa.table({c: pa.array([], tbl.schema.field(c).type)
+                             for c in [key, "__t"] + left_cols + out_rcols}
+                            ).rename_columns([key, left_ts] + left_cols + out_rcols)
+        li = np.concatenate(take_left)
+        ri = np.concatenate(take_right)
+        inside = np.concatenate(keep_mask)
+        if how == "inner":
+            li, ri = li[inside], ri[inside]
+            inside = np.ones(li.size, dtype=bool)
+        lcols = {key: tbl.column(key).take(pa.array(li, pa.int64())),
+                 left_ts: tbl.column("__t").take(pa.array(li, pa.int64()))}
+        for c in left_cols:
+            lcols[c] = tbl.column(c).take(pa.array(li, pa.int64()))
+        r_take = pa.array(np.where(inside, ri, 0), pa.int64(), mask=~inside)
+        for c in out_rcols:
+            lcols[c] = tbl.column(c).take(r_take)
+        out = pa.table(lcols)
+        return out.sort_by([(c, "ascending") for c in [key, left_ts] + left_cols])
+
+    return grouped_sorted_apply(
+        unioned, key, ["__t", SIDE_COL], per_bucket, num_buckets, hot_keys=hot_keys,
+        **map_groups_kwargs,
+    )
