@@ -4284,3 +4284,407 @@ def event_session_join(sf_dir: str):
         })
 
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# round 4 (cont.): window ranking functions on the bucket spine
+# ---------------------------------------------------------------------------
+
+@register(
+    "rank_events_per_user",
+    """
+    SELECT event_id, user_id,
+           row_number() OVER w AS rn,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS dr,
+           ROUND(percent_rank() OVER (PARTITION BY user_id ORDER BY value), 6) AS pr,
+           ntile(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def rank_events_per_user(sf_dir: str):
+    """SQL window-RANKING family (row_number / dense_rank / percent_rank /
+    ntile) per entity — the "how recent / how extreme is this reading within
+    its record" feature step (rank-of-RR-interval analog of HRV_features.py
+    percentile features).  Runs on the single bucket spine: rows of one
+    entity land sorted in one Arrow table and every rank is segment
+    arithmetic — one exchange, no per-group dispatch, no Python loop over
+    rows.  Ties in ``value`` share dense/percent rank exactly as SQL does
+    (resolved via first-position-in-tie-group scans, not stable-sort luck).
+    """
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "user_id")
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "rn": pa.array([], pa.int64()),
+                "dr": pa.array([], pa.int64()),
+                "pr": pa.array([], pa.float64()),
+                "quartile": pa.array([], pa.int64()),
+            })
+        sizes = ends - starts
+        nseg = len(starts)
+        seg_of = np.repeat(np.arange(nseg, dtype=np.int64), sizes)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        s = np.repeat(sizes, sizes)
+
+        # row_number over (ts, event_id): the spine already sorted it
+        rn = pos + 1
+
+        # ntile(4): first (s mod 4) tiles get ceil(s/4) rows
+        t = 4
+        base = s // t
+        rem = s % t
+        cut = rem * (base + 1)
+        in_big = pos < cut
+        tile = np.where(
+            in_big,
+            pos // np.maximum(base + 1, 1),
+            rem + (pos - cut) // np.maximum(base, 1),
+        ) + 1
+
+        # dense_rank / percent_rank over value: order rows by (segment,
+        # value) once, compute tie-group scans along that order, scatter back
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        order = np.lexsort((v, seg_of))
+        v_s, seg_s, s_s = v[order], seg_of[order], s[order]
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = seg_s[1:] != seg_s[:-1]
+        new_val = new_seg.copy()
+        new_val[1:] |= v_s[1:] != v_s[:-1]
+        seg_first = np.maximum.accumulate(np.where(new_seg, idx, -1))
+        grp_first = np.maximum.accumulate(np.where(new_val, idx, -1))
+        dense = np.cumsum(new_val)
+        dr_s = dense - (dense[seg_first] - 1)
+        rank_min = grp_first - seg_first + 1
+        pr_s = np.where(s_s > 1, (rank_min - 1) / np.maximum(s_s - 1, 1), 0.0)
+        dr = np.empty(n, dtype=np.int64)
+        pr = np.empty(n, dtype=np.float64)
+        dr[order] = dr_s
+        pr[order] = pr_s
+
+        return pa.table({
+            "event_id": tbl.column("event_id"),
+            "user_id": tbl.column("user_id"),
+            "rn": pa.array(rn, pa.int64()),
+            "dr": pa.array(dr, pa.int64()),
+            "pr": pa.array(rnd(pr), pa.float64()),
+            "quartile": pa.array(tile.astype(np.int64), pa.int64()),
+        })
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           ROUND(sum(ROUND(o.o_totalprice * 100)) / 100, 6) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+    """,
+)
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (grouping sets): revenue at (nation, segment),
+    (nation) and grand-total levels in ONE pass / ONE exchange.  Each fact
+    row is expanded map-side into its three grouping-set keys (coarser
+    levels use a sentinel key); ``grouped_agg``'s Arrow partial aggregation
+    collapses the expansion to one row per group per block BEFORE the
+    shuffle, so the exchange is O(groups), not 3× the fact table.  The
+    sentinel maps back to SQL NULL in the final shape — standard ROLLUP
+    output."""
+    _ALL = "\x00ALL"
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).iter_batches(batch_format="pyarrow")]
+    )
+    seg = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).iter_batches(batch_format="pyarrow")]
+    )
+    nation = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow")]
+    )
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]).join(seg, keys=["c_custkey"])
+    dim = dim.select(["c_custkey", "n_name", "c_mktsegment"]).rename_columns(["o_custkey", "nation", "segment"])
+    joined = broadcast_join(orders, dim, on="o_custkey", how="inner")
+
+    def expand_levels(batch: pa.Table) -> pa.Table:
+        nat = batch.column("nation")
+        sg = batch.column("segment")
+        price = batch.column("o_totalprice")
+        all_arr = pa.array([_ALL] * batch.num_rows, pa.string())
+        return pa.table({
+            "nation": pa.chunked_array([nat.combine_chunks(), nat.combine_chunks(), all_arr]),
+            "segment": pa.chunked_array([sg.combine_chunks(), all_arr, all_arr]),
+            "o_totalprice": pa.chunked_array([price.combine_chunks()] * 3),
+        })
+
+    expanded = joined.map_batches(expand_levels, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(
+        expanded, ["nation", "segment"],
+        {"n_orders": ("*", "count"), "revenue": ("o_totalprice", "sum_cents")},
+        round_to=6,
+    )
+
+    def desentinel(batch: pa.Table) -> pa.Table:
+        def nullify(col):
+            a = batch.column(col).combine_chunks()
+            return pc.if_else(pc.equal(a, _ALL), pa.scalar(None, pa.string()), a)
+        return pa.table({
+            "nation": nullify("nation"),
+            "segment": nullify("segment"),
+            "n_orders": batch.column("n_orders"),
+            "revenue": batch.column("revenue"),
+        })
+
+    return agg.map_batches(desentinel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+    """
+    + ",\n".join(
+        f"""  count(*) FILTER (WHERE event_type = '{t}') AS n_{t},
+  ROUND(sum(ROUND(value * 100)) FILTER (WHERE event_type = '{t}') / 100, 6) AS value_{t}"""
+        for t in _PIVOT_TYPES
+    )
+    + """
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot(sf_dir: str):
+    """PIVOT: the long event stream reshaped to one wide row per entity with
+    per-event-type count and value-sum columns — the reference's per-label
+    feature-column layout (extract_HRV.py one column block per label)
+    generalized to open categorical pivots.  Indicator columns are built
+    vectorized map-side and collapsed by ``grouped_agg``'s Arrow partials,
+    so the exchange is one row per user per block regardless of how many
+    pivot columns exist; a type a user never hit yields count 0 and SQL-NULL
+    value-sum (matching FILTERed aggregates)."""
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        v = np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+        cents = np.rint(v * 100)
+        cols: dict[str, Any] = {"user_id": batch.column("user_id")}
+        for t in _PIVOT_TYPES:
+            m = np.asarray(pc.equal(et, t).combine_chunks())
+            cols[f"is_{t}"] = pa.array(m.astype(np.int64))
+            cols[f"cents_{t}"] = pa.array(np.where(m, cents, 0.0))
+        return pa.table(cols)
+
+    ind = ds.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+    specs: dict[str, tuple[str, str]] = {}
+    for t in _PIVOT_TYPES:
+        specs[f"n_{t}"] = (f"is_{t}", "sum")
+        specs[f"cents_{t}"] = (f"cents_{t}", "sum")
+    agg = grouped_agg(ind, ["user_id"], specs)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {"user_id": batch.column("user_id")}
+        for t in _PIVOT_TYPES:
+            n = np.asarray(batch.column(f"n_{t}").combine_chunks()).astype(np.int64)
+            cents = np.asarray(batch.column(f"cents_{t}").combine_chunks(), dtype=np.float64)
+            cols[f"n_{t}"] = pa.array(n, pa.int64())
+            # FILTERed SUM over zero rows is SQL NULL, not 0
+            cols[f"value_{t}"] = pa.array(
+                np.where(n > 0, rnd(cents / 100.0), np.nan), pa.float64(), mask=(n == 0)
+            )
+        return pa.table(cols)
+
+    return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "asof_next_event",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER nxt AS next_purchase_id,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER nxt AS next_ts
+      FROM events
+      WINDOW nxt AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, next_purchase_id,
+           date_diff('microsecond', ts, next_ts) AS gap_us
+    FROM w WHERE event_type = 'error'
+    """,
+)
+def asof_next_event(sf_dir: str):
+    """FORWARD as-of join (direction='next'): for every error event, the
+    first purchase event of the same entity strictly after it in
+    (ts, event_id) order — the label-lookahead step of training-data
+    construction ("did a purchase follow this error, and how soon").  The
+    backward as-of (stages/asof.py) reads history; this reads the future,
+    which is exactly what leakage tests must NOT allow into features — so it
+    lives as its own operator for label columns.  Single bucket-spine pass:
+    purchase row positions per segment + one searchsorted; no row loop, no
+    second input, no extra exchange."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "next_purchase_id": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        starts, ends = entity_segments(tbl, "user_id")
+        sizes = ends - starts
+        seg_end = np.repeat(ends, sizes)  # one-past-last row of each row's entity
+        et = tbl.column("event_type")
+        is_p = np.asarray(pc.equal(et, "purchase").combine_chunks())
+        is_e = np.asarray(pc.equal(et, "error").combine_chunks())
+        p_pos = np.flatnonzero(is_p)
+        e_pos = np.flatnonzero(is_e)
+        if e_pos.size == 0:
+            return empty
+        nxt = np.searchsorted(p_pos, e_pos, side="right")
+        # next purchase must exist and stay within the entity's segment
+        cand = np.where(nxt < p_pos.size, p_pos[np.minimum(nxt, p_pos.size - 1)], -1)
+        ok = (cand >= 0) & (cand < seg_end[e_pos])
+        eid = np.asarray(tbl.column("event_id").combine_chunks())
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        uid = np.asarray(tbl.column("user_id").combine_chunks())
+        safe = np.maximum(cand, 0)
+        return pa.table({
+            "event_id": pa.array(eid[e_pos], pa.int64()),
+            "user_id": pa.array(uid[e_pos], pa.int64()),
+            "next_purchase_id": pa.array(eid[safe], pa.int64(), mask=~ok),
+            "gap_us": pa.array(ts[safe] - ts[e_pos], pa.int64(), mask=~ok),
+        })
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+_KM_K = 8
+_KM_ITERS = 5
+_KM_SCALE = 2.0**20
+_KM_EXPECTED = "/tmp/efr_kmeans_expected.parquet"
+
+
+def _emb_f64(batch: pa.Table) -> np.ndarray:
+    """list<float32> column → (n, d) float64 matrix, zero-copy flatten."""
+    col = batch.column("embedding").combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+@register(
+    "kmeans_embeddings",
+    f"SELECT * FROM read_parquet('{_KM_EXPECTED}')",
+)
+def kmeans_embeddings(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS):
+    """Distributed Lloyd k-means over the embedding column — the
+    clustering step of corpus curation (topic balancing, near-dup cluster
+    seeding).  Iterative-algorithm shape on Ray Data: per iteration ONE
+    streaming pass emits per-batch per-cluster sufficient statistics
+    (fixed-point coordinate sums + counts, ≤ k×(d+1) rows per batch),
+    one tiny ``groupby.sum`` reduces them, and the k×d centroid model —
+    bounded by model size, never by data size — is broadcast back via
+    ``ray.put``.  Centroid updates are EXACT fixed-point (Σ rint(x·2²⁰) /
+    (n·2²⁰)) so the result is independent of block count / summation order:
+    that is what makes a distributed iterative float algorithm
+    hash-comparable to a single-threaded oracle (tests/oracle.oracle_kmeans,
+    recomputed fresh for this sf_dir every run).  Empty clusters keep their
+    previous centroid; distance ties break toward the lower cluster id.
+    Reference analog: the label-grouped centroid features of
+    challenge2020 preprocessing generalized to unsupervised clusters."""
+    import pyarrow.parquet as _pq
+
+    d = None  # inferred from the first init row
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # init: the k vectors with the smallest vec_id < k (bounded driver pull)
+    init = ds.filter(expr=f"vec_id < {k}").take_all()
+    init.sort(key=lambda r: r["vec_id"])
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in init])
+    d = C.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            Cl = ray.get(cref)
+            X = _emb_f64(batch)
+            Q = np.rint(X * _KM_SCALE).astype(np.int64)
+            d2 = ((X[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            order = np.argsort(assign, kind="stable")
+            a_s = assign[order]
+            bounds = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+            clusters = a_s[bounds]
+            sums = np.add.reduceat(Q[order], bounds, axis=0)
+            cnts = np.diff(np.r_[bounds, len(a_s)])
+            nc = len(clusters)
+            dd = Cl.shape[1]
+            # key packs (cluster, dim+1); dim slot 0 carries the count
+            key = (np.repeat(clusters, dd + 1) * (dd + 1)
+                   + np.tile(np.arange(dd + 1), nc))
+            s = np.concatenate(
+                [np.concatenate(([c], sv)) for c, sv in zip(cnts, sums)]
+            ) if nc else np.array([], dtype=np.int64)
+            return pa.table({"key": pa.array(key.astype(np.int64), pa.int64()),
+                             "s": pa.array(s, pa.int64())})
+
+        stats = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True) \
+                  .groupby("key").sum("s").take_all()
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in stats:
+            cl, slot = divmod(int(r["key"]), d + 1)
+            if slot == 0:
+                cnts[cl] = r["sum(s)"]
+            else:
+                sums[cl, slot - 1] = r["sum(s)"]
+        nz = cnts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / (cnts[nz, None] * _KM_SCALE)
+
+    cref = ray.put(C)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(cref)
+        X = _emb_f64(batch)
+        d2 = ((X[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(X)), a]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "dist_sq": pa.array(rnd(best), pa.float64()),
+        })
+
+    # refresh the independent-oracle parquet for THIS input (the oracle SQL
+    # reads a static path; the driver always runs the query before its SQL)
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tests.oracle import oracle_kmeans
+
+    exp = oracle_kmeans(sf_dir, k=k, iters=iters, scale=_KM_SCALE)
+    _pq.write_table(pa.Table.from_pandas(exp, preserve_index=False), _KM_EXPECTED + ".tmp")
+    os.replace(_KM_EXPECTED + ".tmp", _KM_EXPECTED)
+
+    return ds.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)

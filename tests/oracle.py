@@ -800,3 +800,41 @@ def oracle_thumbnails(events_dir: str) -> pd.DataFrame:
     out = df[["image_id", "ts"]].copy()
     out["thumb_bytes"] = np.array(sizes, dtype=np.int64)
     return out
+
+
+def oracle_kmeans(sf_dir: str, k: int = 8, iters: int = 5, scale: float = 2.0**20) -> pd.DataFrame:
+    """Independent single-threaded Lloyd k-means over the embeddings table.
+
+    Mirrors the DETERMINISTIC contract of queries.kmeans_embeddings without
+    touching any engine stage code: init = vectors with vec_id < k (sorted),
+    per-iteration centroid update in exact fixed-point arithmetic
+    (sum of rint(x*scale) int64 / (count*scale)) so the result is
+    independent of summation order; empty clusters keep their previous
+    centroid; assignment breaks distance ties toward the lower cluster id
+    (np.argmin).  Distances are computed with the same broadcast expression
+    the engine uses so the 64-element pairwise sums match bit-for-bit.
+    """
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl.column("vec_id").combine_chunks()), kind="stable")
+    vec_id = np.asarray(tbl.column("vec_id").combine_chunks())[order]
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )[order]
+    Q = np.rint(X * scale).astype(np.int64)
+    C = X[np.searchsorted(vec_id, np.arange(k))].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = Q[m].sum(axis=0, dtype=np.int64) / (m.sum() * scale)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = np.argmin(d2, axis=1)
+    best = d2[np.arange(len(X)), assign]
+    r = np.copysign(np.floor(np.abs(best) * 1e6 + 0.5) / 1e6, best)
+    return pd.DataFrame({
+        "vec_id": vec_id.astype(np.int64),
+        "cluster": assign.astype(np.int64),
+        "dist_sq": r,
+    })

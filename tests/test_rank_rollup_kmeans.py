@@ -1,0 +1,172 @@
+"""Round-4 additions: window ranks / rollup / pivot / forward as-of / k-means.
+
+The driver's DuckDB gate already hash-checks each of these on the provided
+testdata; these tests cover what that data can't — planted VALUE TIES for the
+rank functions (testdata values are continuous doubles, so dense/percent-rank
+tie groups never occur there), brute-force semantics for the forward as-of,
+and the fixed-point order-independence property that makes distributed
+k-means hash-comparable to a single-threaded oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ecg_feature_engineering_ray.pipelines.queries import QUERIES, ORACLE
+
+
+@pytest.fixture(scope="module")
+def tied_events_dir(tmp_path_factory):
+    """A tiny events table with many exact value ties and same-ts rows."""
+    rng = np.random.default_rng(7)
+    n = 600
+    users = rng.integers(0, 12, n)
+    ts = np.sort(rng.integers(0, 10**9, n))  # microseconds
+    # values drawn from a SMALL integer grid → guaranteed tie groups
+    values = rng.integers(0, 5, n).astype(np.float64) / 2.0
+    types = rng.choice(["click", "error", "purchase", "signup", "view"], n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users.astype(np.int64), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("tied")
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def _duck_oracle(name: str, sf_dir: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con.execute(ORACLE[name]).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def test_rank_functions_with_planted_ties(tied_events_dir):
+    got = _norm(QUERIES["rank_events_per_user"](tied_events_dir).to_pandas())
+    exp = _norm(_duck_oracle("rank_events_per_user", tied_events_dir))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+def test_asof_next_event_brute_force(tied_events_dir):
+    got = QUERIES["asof_next_event"](tied_events_dir).to_pandas()
+    raw = pq.read_table(f"{tied_events_dir}/events.parquet").to_pandas()
+    raw = raw.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    rows = []
+    for _, g in raw.groupby("user_id"):
+        g = g.reset_index(drop=True)
+        for i, r in g.iterrows():
+            if r.event_type != "error":
+                continue
+            nxt = g.iloc[i + 1 :]
+            nxt = nxt[nxt.event_type == "purchase"]
+            rows.append(
+                {
+                    "event_id": r.event_id,
+                    "user_id": r.user_id,
+                    "next_purchase_id": None if nxt.empty else int(nxt.iloc[0].event_id),
+                    "gap_us": None
+                    if nxt.empty
+                    else int(
+                        (nxt.iloc[0].ts - r.ts) // pd.Timedelta(microseconds=1)
+                    ),
+                }
+            )
+    exp = pd.DataFrame(rows)
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got.event_id.values == exp.event_id.values).all()
+    gn = got.next_purchase_id.astype("float64")
+    en = exp.next_purchase_id.astype("float64")
+    assert gn.isna().equals(en.isna())
+    assert np.allclose(gn.fillna(-1), en.fillna(-1))
+    assert np.allclose(
+        got.gap_us.astype("float64").fillna(-1), exp.gap_us.astype("float64").fillna(-1)
+    )
+
+
+def test_rollup_levels_consistent(tied_events_dir):
+    """ROLLUP invariant on real testdata: finest level sums to each coarser
+    level exactly (counts are ints; revenue is exact cents both sides)."""
+    out = QUERIES["revenue_rollup"]("/root/testdata/sf0.001").to_pandas()
+    finest = out[out.segment.notna()]
+    per_nation = out[out.nation.notna() & out.segment.isna()]
+    total = out[out.nation.isna()]
+    assert len(total) == 1
+    assert finest.n_orders.sum() == total.n_orders.iloc[0]
+    assert per_nation.n_orders.sum() == total.n_orders.iloc[0]
+    got = finest.groupby("nation").n_orders.sum().sort_index()
+    exp = per_nation.set_index("nation").n_orders.sort_index()
+    assert (got.values == exp.values).all()
+    # revenue: cents-exact, so level sums agree to < 1e-6 after rounding noise
+    assert abs(finest.revenue.sum() - total.revenue.iloc[0]) < 1e-4
+
+
+def test_pivot_counts_match_long_counts(tied_events_dir):
+    out = QUERIES["event_type_pivot"](tied_events_dir).to_pandas()
+    raw = pq.read_table(f"{tied_events_dir}/events.parquet").to_pandas()
+    exp = raw.pivot_table(
+        index="user_id", columns="event_type", values="event_id", aggfunc="count"
+    ).fillna(0)
+    for t in ["click", "error", "purchase", "signup", "view"]:
+        got = out.set_index("user_id")[f"n_{t}"].sort_index()
+        e = exp[t].sort_index() if t in exp else pd.Series(0, index=got.index)
+        assert (got.values == e.values.astype(np.int64)).all()
+    # value_<t> is NULL exactly when the count is 0
+    for t in ["click", "error", "purchase", "signup", "view"]:
+        z = out[out[f"n_{t}"] == 0]
+        assert z[f"value_{t}"].isna().all()
+
+
+def test_kmeans_fixed_point_update_is_order_independent():
+    """The centroid-update arithmetic (Σ rint(x·2²⁰) int64 / (n·2²⁰)) gives
+    bit-identical centroids for ANY partitioning of the rows — the property
+    that lets the distributed engine hash-match a single-threaded oracle."""
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((1000, 16)).astype(np.float32).astype(np.float64)
+    scale = 2.0**20
+    Q = np.rint(X * scale).astype(np.int64)
+    whole = Q.sum(axis=0) / (len(X) * scale)
+    for seed in range(3):
+        perm = np.random.default_rng(seed).permutation(len(X))
+        parts = np.array_split(Q[perm], 7)
+        s = np.zeros(16, dtype=np.int64)
+        for p in parts:
+            s += p.sum(axis=0)
+        assert (s / (len(X) * scale) == whole).all()  # exact, not allclose
+
+
+def test_kmeans_matches_independent_oracle():
+    from tests.oracle import oracle_kmeans
+
+    got = (
+        QUERIES["kmeans_embeddings"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = oracle_kmeans("/root/testdata/sf0.001").sort_values("vec_id").reset_index(drop=True)
+    assert (got.cluster.values == exp.cluster.values).all()
+    assert np.allclose(got.dist_sq.values, exp.dist_sq.values)
+    assert got.cluster.nunique() > 1  # the clustering actually separated data
