@@ -4688,3 +4688,113 @@ def kmeans_embeddings(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS):
     os.replace(_KM_EXPECTED + ".tmp", _KM_EXPECTED)
 
     return ds.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "top_event_type_per_user",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1
+    """,
+)
+def top_event_type_per_user(sf_dir: str):
+    """Grouped MODE (most-frequent categorical value per entity) with
+    deterministic tie-breaking (higher count, then lexicographically smaller
+    value) — SQL's mode() leaves ties unspecified, so the operator pins them.
+    Two mergeable stages, both bounded: an Arrow partial-agg count per
+    (entity, value) and the per-group top-k spine at k=1 — the exchange
+    carries one row per (entity, value) per block, then ≤1 row per entity."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    counts = grouped_agg(ds, ["user_id", "event_type"], {"n": ("*", "count")})
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__neg", pc.negate(batch.column("n").combine_chunks().cast(pa.int64()))
+        )
+
+    keyed = counts.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
+    out = per_group_top_k(keyed, "user_id", ["__neg", "event_type"], 1, NB)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "mode_type": batch.column("event_type"),
+            "n": batch.column("n"),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "funnel_signup_purchase",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS conversion_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.conversion_ts,
+           CAST(p.conversion_ts IS NOT NULL AS BIGINT) AS converted,
+           date_diff('microsecond', s.signup_ts, p.conversion_ts) AS delay_us
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def funnel_signup_purchase(sf_dir: str):
+    """FUNNEL / conversion analysis: per entity, the first signup and the
+    first purchase STRICTLY after it (timestamp semantics; a same-microsecond
+    purchase does not convert) — the ordered-sequence-matching step of
+    behavioral feature engineering, one row per entity that entered the
+    funnel.  Single bucket-spine pass, fully vectorized: per-segment masked
+    ``minimum.reduceat`` finds the first signup, a second masked reduceat
+    over rows later than it finds the earliest qualifying purchase — no
+    per-entity loop, no second exchange, no join."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+    INF = np.iinfo(np.int64).max
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "signup_ts": pa.array([], pa.timestamp("us")),
+            "conversion_ts": pa.array([], pa.timestamp("us")),
+            "converted": pa.array([], pa.int64()),
+            "delay_us": pa.array([], pa.int64()),
+        })
+        if tbl.num_rows == 0:
+            return empty
+        starts, ends = entity_segments(tbl, "user_id")
+        sizes = ends - starts
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        et = tbl.column("event_type")
+        uid = np.asarray(tbl.column("user_id").combine_chunks())
+        is_s = np.asarray(pc.equal(et, "signup").combine_chunks())
+        is_p = np.asarray(pc.equal(et, "purchase").combine_chunks())
+        s_ts = np.minimum.reduceat(np.where(is_s, ts, INF), starts)
+        has_s = s_ts < INF
+        if not has_s.any():
+            return empty
+        s_row = np.repeat(s_ts, sizes)
+        conv_cand = np.where(is_p & (ts > s_row), ts, INF)
+        c_ts = np.minimum.reduceat(conv_cand, starts)
+        converted = (c_ts < INF) & has_s
+        keep = has_s
+        safe_c = np.where(converted, c_ts, 0)
+        return pa.table({
+            "user_id": pa.array(uid[starts][keep], pa.int64()),
+            "signup_ts": pa.array(s_ts[keep], pa.timestamp("us")),
+            "conversion_ts": pa.array(safe_c[keep], pa.timestamp("us"), mask=~converted[keep]),
+            "converted": pa.array(converted[keep].astype(np.int64), pa.int64()),
+            "delay_us": pa.array(safe_c[keep] - s_ts[keep], pa.int64(), mask=~converted[keep]),
+        })
+
+    return grouped_sorted_apply(ds, "user_id", ["ts"], per_bucket, NB)

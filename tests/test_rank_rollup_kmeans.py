@@ -170,3 +170,70 @@ def test_kmeans_matches_independent_oracle():
     assert (got.cluster.values == exp.cluster.values).all()
     assert np.allclose(got.dist_sq.values, exp.dist_sq.values)
     assert got.cluster.nunique() > 1  # the clustering actually separated data
+
+
+def test_mode_tie_breaks_to_smaller_value(tmp_path):
+    """Planted exact count ties: mode must pick the lexicographically
+    smaller event_type, not whichever block arrived first."""
+    n_u = 6
+    rows = []
+    eid = 0
+    for u in range(n_u):
+        for t in ["view", "click"]:  # exactly 3 each → tie → 'click' wins
+            for _ in range(3):
+                rows.append((eid, u, t))
+                eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(list(range(len(rows))), pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = QUERIES["top_event_type_per_user"](str(tmp_path)).to_pandas()
+    assert len(out) == n_u
+    assert (out.mode_type == "click").all()
+    assert (out.n == 3).all()
+
+
+def test_funnel_brute_force(tied_events_dir):
+    got = (
+        QUERIES["funnel_signup_purchase"](tied_events_dir)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    raw = pq.read_table(f"{tied_events_dir}/events.parquet").to_pandas()
+    rows = []
+    for u, g in raw.groupby("user_id"):
+        s = g[g.event_type == "signup"]
+        if s.empty:
+            continue
+        s_ts = s.ts.min()
+        p = g[(g.event_type == "purchase") & (g.ts > s_ts)]
+        rows.append(
+            {
+                "user_id": u,
+                "signup_ts": s_ts,
+                "conversion_ts": None if p.empty else p.ts.min(),
+                "converted": int(not p.empty),
+            }
+        )
+    exp = pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got.user_id.values == exp.user_id.values).all()
+    assert (got.signup_ts.values == exp.signup_ts.values).all()
+    assert (got.converted.values == exp.converted.values).all()
+    m = got.converted == 1
+    assert (
+        got.loc[m, "conversion_ts"].values
+        == exp.loc[exp.converted == 1, "conversion_ts"].values
+    ).all()
+    d = (got.loc[m, "conversion_ts"] - got.loc[m, "signup_ts"]) // pd.Timedelta(
+        microseconds=1
+    )
+    assert (got.loc[m, "delay_us"].values == d.values).all()
