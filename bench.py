@@ -140,6 +140,19 @@ JOIN_SUITE = [
     "price_band_revenue",
 ]
 
+# round-4 (cont.) relational/ML operators (window ranks, rollup, pivot,
+# forward as-of, grouped mode, funnel, distributed k-means) — same
+# separate-block pattern
+RELML_SUITE = [
+    "rank_events_per_user",
+    "revenue_rollup",
+    "event_type_pivot",
+    "asof_next_event",
+    "top_event_type_per_user",
+    "funnel_signup_purchase",
+    "kmeans_embeddings",
+]
+
 
 def fixture_dirs(prof: dict) -> tuple[str, str]:
     """Bench fixture (cached across runs — generation is deterministic)."""
@@ -384,6 +397,7 @@ def run_suite() -> dict:
     sk_times: dict[str, float] = {}
     cp_times: dict[str, float] = {}
     jn_times: dict[str, float] = {}
+    rm_times: dict[str, float] = {}
     if prof["run_suite"]:
         for name in SUITE:
             t0 = time.time()
@@ -419,6 +433,12 @@ def run_suite() -> dict:
             if hasattr(res, "count"):
                 res.count()
             jn_times[name] = round(time.time() - t0, 3)
+        for name in RELML_SUITE:
+            t0 = time.time()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            rm_times[name] = round(time.time() - t0, 3)
 
     total = round(sum(q_times.values()) + flagship_s, 3)
     result = {
@@ -426,11 +446,12 @@ def run_suite() -> dict:
         "value": total,
         "unit": "sec",
         "queries": {**q_times, **nd_times, **sk_times, **cp_times, **jn_times,
-                    "flagship_pit": round(flagship_s, 3)},
+                    **rm_times, "flagship_pit": round(flagship_s, 3)},
         "neardup_suite_s": round(sum(nd_times.values()), 3),
         "sketch_suite_s": round(sum(sk_times.values()), 3),
         "corpus_suite_s": round(sum(cp_times.values()), 3),
         "join_suite_s": round(sum(jn_times.values()), 3),
+        "relml_suite_s": round(sum(rm_times.values()), 3),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "profile": PROFILE,
