@@ -151,6 +151,7 @@ RELML_SUITE = [
     "top_event_type_per_user",
     "funnel_signup_purchase",
     "kmeans_embeddings",
+    "value_decile_assign",
 ]
 
 

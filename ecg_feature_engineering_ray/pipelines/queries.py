@@ -4614,7 +4614,10 @@ def kmeans_embeddings(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS):
     import pyarrow.parquet as _pq
 
     d = None  # inferred from the first init row
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # Iterative algorithm: pin the PRUNED 2-column projection in the object
+    # store once (Spark-style cache; Ray spills blocks if it outgrows memory)
+    # instead of re-reading parquet on every Lloyd pass.
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
 
     # init: the k vectors with the smallest vec_id < k (bounded driver pull)
     init = ds.filter(expr=f"vec_id < {k}").take_all()
@@ -4798,3 +4801,93 @@ def funnel_signup_purchase(sf_dir: str):
         })
 
     return grouped_sorted_apply(ds, "user_id", ["ts"], per_bucket, NB)
+
+
+@register(
+    "value_decile_assign",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(ROUND(value * 100),
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           1 + len(list_filter(b.qs, q -> ROUND(e.value * 100) >= q)) AS decile
+    FROM events e JOIN b ON e.event_type = b.event_type
+    """,
+)
+def value_decile_assign(sf_dir: str):
+    """Quantile-bucket DISCRETIZATION: every value mapped to its per-type
+    decile (1..10) — the feature-binning step before one-hot/embedding of a
+    continuous measure.  Two passes, both shuffle-light: (1) exact per-type
+    decile boundaries via the mergeable fixed-point quantile aggregate (the
+    exchange carries (type, cents) COUNTS, never rows — identical arithmetic
+    to SQL quantile_cont so boundaries match bit-for-bit); (2) the tiny
+    (types × 9) boundary model broadcast via ``ray.put`` and each batch
+    bucketed with one vectorized compare — no second shuffle.  Boundary
+    collisions (a value exactly on a decile edge) resolve identically on
+    both sides because the comparison operands are bit-equal."""
+    _DEC = [i / 10.0 for i in range(1, 10)]
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column("value").combine_chunks(), dtype=np.float64) * 100
+        ).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"), "cent": pa.array(cents)})
+        cnt = t.group_by(["event_type", "cent"]).aggregate([("cent", "count")])
+        return pa.table({"event_type": cnt.column("event_type"),
+                         "cent": cnt.column("cent"),
+                         "n": cnt.column("cent_count").cast(pa.int64())})
+
+    partials = _events(sf_dir, ["event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def boundaries(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "event_type")
+        ets = tbl.column("event_type")
+        cents = np.asarray(tbl.column("cent").combine_chunks(), dtype=np.float64)
+        cnts = np.asarray(tbl.column("n").combine_chunks(), dtype=np.int64)
+        out_t, out_b = [], []
+        for s, e in zip(starts, ends):
+            v, c = cents[s:e], cnts[s:e]
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            bs = []
+            for q in _DEC:
+                pos = q * (n - 1)
+                i = int(np.floor(pos))
+                frac = pos - i
+                lo = v[np.searchsorted(cum, i + 1)]
+                hi = v[np.searchsorted(cum, min(i + 2, n))]
+                bs.append(lo + frac * (hi - lo))  # cents-space, NO rounding
+            out_t.append(ets[s].as_py())
+            out_b.append(bs)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "bs": pa.array(out_b, pa.list_(pa.float64())),
+        })
+
+    bt = grouped_sorted_apply(partials, "event_type", ["cent"], boundaries, NB).take_all()
+    bmap = {r["event_type"]: np.asarray(r["bs"], dtype=np.float64) for r in bt}
+    types = sorted(bmap)
+    B = np.stack([bmap[t] for t in types])  # (T, 9) broadcast model
+    bref = ray.put((types, B))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tys, Bm = ray.get(bref)
+        cents = np.rint(
+            np.asarray(batch.column("value").combine_chunks(), dtype=np.float64) * 100
+        )
+        d = batch.column("event_type").combine_chunks().dictionary_encode()
+        lut = np.array([tys.index(s) for s in d.dictionary.to_pylist()], dtype=np.int64)
+        ti = lut[np.asarray(d.indices)]
+        dec = 1 + (cents[:, None] >= Bm[ti]).sum(axis=1)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "decile": pa.array(dec.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -237,3 +237,31 @@ def test_funnel_brute_force(tied_events_dir):
         microseconds=1
     )
     assert (got.loc[m, "delay_us"].values == d.values).all()
+
+
+def test_decile_assign_with_boundary_collisions(tied_events_dir):
+    """The tied fixture's 5-point value grid puts MANY rows exactly on
+    decile boundaries — the collision path the continuous testdata never
+    hits.  Both sides must resolve them identically (bit-equal operands)."""
+    got = (
+        QUERIES["value_decile_assign"](tied_events_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _duck_oracle("value_decile_assign", tied_events_dir)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (got.decile.values == exp.decile.values.astype(np.int64)).all()
+    assert got.decile.min() >= 1 and got.decile.max() <= 10
+
+
+def test_decile_assign_balanced_on_continuous_data():
+    got = QUERIES["value_decile_assign"]("/root/testdata/sf0.001").to_pandas()
+    n = len(got)
+    counts = got.decile.value_counts()
+    # continuous doubles → each decile holds ~n/10 (all 5 types pooled)
+    assert set(counts.index) == set(range(1, 11))
+    assert counts.max() < 0.2 * n and counts.min() > 0.04 * n
