@@ -152,6 +152,8 @@ RELML_SUITE = [
     "funnel_signup_purchase",
     "kmeans_embeddings",
     "value_decile_assign",
+    "rolling_active_users",
+    "cohort_retention",
 ]
 
 

@@ -4891,3 +4891,122 @@ def value_decile_assign(sf_dir: str):
         })
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+@register(
+    "rolling_active_users",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ), span AS (
+      SELECT unnest(range(min(day), max(day) + 7)) AS day FROM du
+    )
+    SELECT s.day, count(DISTINCT u.user_id) AS active_users
+    FROM span s JOIN du u ON u.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day
+    """,
+)
+def rolling_active_users(sf_dir: str):
+    """Rolling 7-day ACTIVE-USERS (time-windowed COUNT DISTINCT) — the
+    engagement metric every event pipeline reports, and a windowed distinct
+    aggregate SQL window functions cannot express (no DISTINCT in OVER).
+    Naive plans shuffle (rows × window) copies; this runs ONE bucket-spine
+    pass per user that merges each user's active days into covered-day
+    intervals [d, d+6] and emits every covered day EXACTLY ONCE per user
+    (interval union, vectorized via clipped np.repeat/arange runs), so the
+    second exchange carries distinct (day, user) coverage rows — bounded by
+    users × span-days — and a plain count per day IS the distinct count."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+    W = 7
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch.column("ts").cast(pa.int64()).combine_chunks()) // _DAY_US
+        t = pa.table({"user_id": batch.column("user_id"), "day": pa.array(days)})
+        # block-local dedup so the spine shuffle carries (user, day) pairs
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = ds.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cover(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64())})
+        starts, _ = entity_segments(tbl, "user_id")
+        d = np.asarray(tbl.column("day").combine_chunks(), dtype=np.int64)
+        n = len(d)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        # new covered days contributed by row i: (prev_end, d_i + W-1] where
+        # prev_end = d_{i-1} + W - 1 within the same user
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = W
+        gap[1:] = d[1:] - d[:-1]
+        cnt = np.where(first, W, np.minimum(gap, W))
+        # rows with duplicate day per user can't occur (spine is per-user
+        # sorted distinct pairs), so cnt >= 1 everywhere
+        total = int(cnt.sum())
+        run_start = d + W - cnt  # first NEW covered day of row i
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+        )
+        days_out = np.repeat(run_start, cnt) + offs
+        return pa.table({"day": pa.array(days_out, pa.int64())})
+
+    covered = grouped_sorted_apply(pairs, "user_id", ["day"], cover, NB)
+    return grouped_agg(covered, ["day"], {"active_users": ("*", "count")})
+
+
+@register(
+    "cohort_retention",
+    f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+    ), f AS (
+      SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT f.cohort_week, uw.week - f.cohort_week AS week_offset,
+           count(*) AS retained
+    FROM uw JOIN f ON uw.user_id = f.user_id
+    GROUP BY f.cohort_week, uw.week - f.cohort_week
+    """,
+)
+def cohort_retention(sf_dir: str):
+    """COHORT RETENTION: users grouped by first-activity week, counted in
+    every later week they return — the triangle every growth/engagement
+    pipeline materializes.  One bucket-spine pass per user derives the
+    cohort week (first row of the sorted segment) and the distinct active
+    weeks in the same scan, emitting (cohort_week, week_offset) rows; the
+    only other exchange is the tiny final count over the cohort × offset
+    grid.  No self-join, no second read."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def week_partial(batch: pa.Table) -> pa.Table:
+        wk = np.asarray(batch.column("ts").cast(pa.int64()).combine_chunks()) // _WEEK_US
+        t = pa.table({"user_id": batch.column("user_id"), "week": pa.array(wk)})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    pairs = ds.map_batches(week_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def offsets(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64())})
+        starts, ends = entity_segments(tbl, "user_id")
+        wk = np.asarray(tbl.column("week").combine_chunks(), dtype=np.int64)
+        sizes = ends - starts
+        cohort = np.repeat(wk[starts], sizes)
+        # block-local dedup leaves cross-block duplicate (user, week) rows;
+        # the segment is sorted, so keep only the first of each week run
+        keep = np.ones(len(wk), dtype=bool)
+        keep[1:] = wk[1:] != wk[:-1]
+        keep[starts] = True
+        return pa.table({
+            "cohort_week": pa.array(cohort[keep], pa.int64()),
+            "week_offset": pa.array((wk - cohort)[keep], pa.int64()),
+        })
+
+    rows = grouped_sorted_apply(pairs, "user_id", ["week"], offsets, NB)
+    return grouped_agg(rows, ["cohort_week", "week_offset"], {"retained": ("*", "count")})

@@ -265,3 +265,81 @@ def test_decile_assign_balanced_on_continuous_data():
     # continuous doubles → each decile holds ~n/10 (all 5 types pooled)
     assert set(counts.index) == set(range(1, 11))
     assert counts.max() < 0.2 * n and counts.min() > 0.04 * n
+
+
+@pytest.fixture(scope="module")
+def multiday_events_dir(tmp_path_factory):
+    """Events spread over ~60 days with sparse users → window gaps exist."""
+    rng = np.random.default_rng(11)
+    n = 800
+    day_us = 86_400_000_000
+    users = rng.integers(0, 25, n)
+    ts = rng.integers(0, 60 * day_us, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(np.sort(ts), pa.timestamp("us")),
+            "user_id": pa.array(users.astype(np.int64), pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array(rng.standard_normal(n), pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("multiday")
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_rolling_active_users_brute_force(multiday_events_dir):
+    day_us = 86_400_000_000
+    got = (
+        QUERIES["rolling_active_users"](multiday_events_dir)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    raw = pq.read_table(f"{multiday_events_dir}/events.parquet").to_pandas()
+    raw["day"] = raw.ts.astype("int64") // day_us
+    du = raw[["user_id", "day"]].drop_duplicates()
+    lo, hi = du.day.min(), du.day.max() + 7
+    rows = []
+    for d in range(lo, hi):
+        users = du[(du.day >= d - 6) & (du.day <= d)].user_id.nunique()
+        if users > 0:
+            rows.append({"day": d, "active_users": users})
+    exp = pd.DataFrame(rows)
+    assert len(got) == len(exp)
+    assert (got.day.values == exp.day.values).all()
+    assert (got.active_users.values == exp.active_users.values).all()
+
+
+def test_cohort_retention_brute_force(multiday_events_dir):
+    week_us = 7 * 86_400_000_000
+    got = (
+        QUERIES["cohort_retention"](multiday_events_dir)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    raw = pq.read_table(f"{multiday_events_dir}/events.parquet").to_pandas()
+    raw["week"] = raw.ts.astype("int64") // week_us
+    uw = raw[["user_id", "week"]].drop_duplicates()
+    f = uw.groupby("user_id").week.min().rename("cohort_week")
+    j = uw.join(f, on="user_id")
+    j["week_offset"] = j.week - j.cohort_week
+    exp = (
+        j.groupby(["cohort_week", "week_offset"])
+        .size()
+        .rename("retained")
+        .reset_index()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got.cohort_week.values == exp.cohort_week.values).all()
+    assert (got.week_offset.values == exp.week_offset.values).all()
+    assert (got.retained.values == exp.retained.values).all()
+    # offset 0 of each cohort equals the cohort size (everyone active week 0)
+    z = got[got.week_offset == 0].set_index("cohort_week").retained
+    cs = f.value_counts().sort_index()
+    assert (z.sort_index().values == cs.values).all()
