@@ -154,6 +154,8 @@ RELML_SUITE = [
     "value_decile_assign",
     "rolling_active_users",
     "cohort_retention",
+    "events_since_purchase",
+    "asof_nearest_event",
 ]
 
 

@@ -5010,3 +5010,181 @@ def cohort_retention(sf_dir: str):
 
     rows = grouped_sorted_apply(pairs, "user_id", ["week"], offsets, NB)
     return grouped_agg(rows, ["cohort_week", "week_offset"], {"retained": ("*", "count")})
+
+
+@register(
+    "join_user_order_activity",
+    """
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+         o AS (SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id, e.n_events, o.n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def join_user_order_activity(sf_dir: str):
+    """FULL OUTER big×big join (J5 extended): per-user event activity
+    reconciled against per-customer order activity — the coverage-audit join
+    ("which entities exist on only one side") every multi-source pipeline
+    runs.  Both inputs are themselves distributed aggregates; the join is
+    ONE co-partitioned exchange and Acero full-outer inside each bucket,
+    unmatched rows of either side surviving with null payload."""
+    ev = grouped_agg(_events(sf_dir, ["user_id"]), ["user_id"], {"n_events": ("*", "count")})
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch.column("o_custkey")})
+
+    oc = grouped_agg(
+        orders.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], {"n_orders": ("*", "count")},
+    )
+
+    def as_arrow(batch: pa.Table) -> pa.Table:  # normalize block format for the join
+        return batch
+
+    ev = ev.map_batches(as_arrow, batch_format="pyarrow", zero_copy_batch=True)
+    oc = oc.map_batches(as_arrow, batch_format="pyarrow", zero_copy_batch=True)
+    return shuffle_join(ev, oc, on="user_id", left_cols=["n_events"],
+                        right_cols=["n_orders"], how="full", num_buckets=NB)
+
+
+@register(
+    "events_since_purchase",
+    """
+    WITH r AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           rn - max(CASE WHEN event_type = 'purchase' THEN rn END)
+                  OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS since_purchase
+    FROM r
+    """,
+)
+def events_since_purchase(sf_dir: str):
+    """Marker-reset running counter: for every event, how many rows since
+    the entity's most recent purchase (0 on the purchase itself, NULL before
+    the first) — the "time/steps since last reset" feature of behavioral
+    models, a stateful per-entity scan that SQL needs nested windows for.
+    One spine pass: purchase positions per segment + one searchsorted, all
+    segment arithmetic."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "since_purchase": pa.array([], pa.int64()),
+            })
+        starts, ends = entity_segments(tbl, "user_id")
+        sizes = ends - starts
+        seg_start = np.repeat(starts, sizes)
+        is_p = np.asarray(pc.equal(tbl.column("event_type"), "purchase").combine_chunks())
+        p_pos = np.flatnonzero(is_p)
+        idx = np.arange(n, dtype=np.int64)
+        at_or_before = np.searchsorted(p_pos, idx, side="right") - 1
+        last_p = np.where(at_or_before >= 0, p_pos[np.maximum(at_or_before, 0)], -1)
+        ok = (last_p >= 0) & (last_p >= seg_start)  # same entity only
+        return pa.table({
+            "event_id": tbl.column("event_id"),
+            "user_id": tbl.column("user_id"),
+            "since_purchase": pa.array(idx - np.maximum(last_p, 0), pa.int64(), mask=~ok),
+        })
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "asof_nearest_event",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER prv AS prev_pid,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER prv AS prev_ts,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER nxt AS next_pid,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER nxt AS next_ts
+      FROM events
+      WINDOW prv AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             nxt AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE
+             WHEN prev_pid IS NULL AND next_pid IS NULL THEN NULL
+             WHEN prev_pid IS NULL THEN next_pid
+             WHEN next_pid IS NULL THEN prev_pid
+             WHEN date_diff('microsecond', prev_ts, ts)
+                  <= date_diff('microsecond', ts, next_ts) THEN prev_pid
+             ELSE next_pid
+           END AS nearest_purchase_id,
+           CASE
+             WHEN prev_pid IS NULL AND next_pid IS NULL THEN NULL
+             WHEN prev_pid IS NULL THEN date_diff('microsecond', ts, next_ts)
+             WHEN next_pid IS NULL THEN date_diff('microsecond', prev_ts, ts)
+             ELSE least(date_diff('microsecond', prev_ts, ts),
+                        date_diff('microsecond', ts, next_ts))
+           END AS gap_us
+    FROM w WHERE event_type = 'error'
+    """,
+)
+def asof_nearest_event(sf_dir: str):
+    """NEAREST as-of join (direction='nearest'): for every error, the
+    purchase of the same entity closest in event time, looking BOTH ways,
+    absolute-gap tie broken toward the earlier row — completing the as-of
+    family (backward = stages/asof.py, forward = asof_next_event, windowed =
+    asof_windowed_features).  One spine pass, two searchsorteds per bucket."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "nearest_purchase_id": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        starts, ends = entity_segments(tbl, "user_id")
+        sizes = ends - starts
+        seg_start = np.repeat(starts, sizes)
+        seg_end = np.repeat(ends, sizes)
+        et = tbl.column("event_type")
+        is_p = np.asarray(pc.equal(et, "purchase").combine_chunks())
+        e_pos = np.flatnonzero(np.asarray(pc.equal(et, "error").combine_chunks()))
+        if e_pos.size == 0:
+            return empty
+        p_pos = np.flatnonzero(is_p)
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()).combine_chunks())
+        eid = np.asarray(tbl.column("event_id").combine_chunks())
+        uid = np.asarray(tbl.column("user_id").combine_chunks())
+        nxt_i = np.searchsorted(p_pos, e_pos, side="right")
+        prv_i = nxt_i - 1
+        nxt = np.where(nxt_i < p_pos.size, p_pos[np.minimum(nxt_i, p_pos.size - 1)], -1)
+        prv = np.where(prv_i >= 0, p_pos[np.maximum(prv_i, 0)], -1)
+        nxt_ok = (nxt >= 0) & (nxt < seg_end[e_pos])
+        prv_ok = (prv >= 0) & (prv >= seg_start[e_pos])
+        gap_n = np.where(nxt_ok, ts[np.maximum(nxt, 0)] - ts[e_pos], np.iinfo(np.int64).max)
+        gap_p = np.where(prv_ok, ts[e_pos] - ts[np.maximum(prv, 0)], np.iinfo(np.int64).max)
+        use_prev = prv_ok & (~nxt_ok | (gap_p <= gap_n))
+        chosen = np.where(use_prev, prv, nxt)
+        ok = prv_ok | nxt_ok
+        gap = np.where(use_prev, gap_p, gap_n)
+        safe = np.maximum(chosen, 0)
+        return pa.table({
+            "event_id": pa.array(eid[e_pos], pa.int64()),
+            "user_id": pa.array(uid[e_pos], pa.int64()),
+            "nearest_purchase_id": pa.array(eid[safe], pa.int64(), mask=~ok),
+            "gap_us": pa.array(np.where(ok, gap, 0), pa.int64(), mask=~ok),
+        })
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)

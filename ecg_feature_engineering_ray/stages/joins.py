@@ -112,11 +112,14 @@ def shuffle_join(
     two sides.  Duplicate keys on BOTH sides are fine (full m×n expansion
     per key, standard SQL semantics).
 
-    how ∈ {'inner', 'left'}.  ``left_cols``/``right_cols`` are the payload
+    how ∈ {'inner', 'left', 'full'}.  ``left_cols``/``right_cols`` are the payload
     columns to carry (prune at the read — a join that ships all columns is
     wrong at 100 TB).  Right payload columns whose names collide with left
     ones are renamed with ``suffix``.  Null join keys never match (SQL
-    semantics); with how='left' null-key left rows are still emitted.
+    semantics); with how='left' null-key left rows are still emitted, and
+    with how='full' unmatched rows of BOTH sides (null keys included) are
+    emitted with the other side's payload null — Acero's hash join keeps
+    SQL null-key non-matching inside the bucket.
 
     Partitioning assumption: one key's rows fit in one bucket's memory —
     for a key hot enough to break that, pre-split with ``hot_keys`` (own
@@ -128,8 +131,8 @@ def shuffle_join(
     from .asof import SIDE_COL  # noqa: PLC0415
     from .partition import grouped_sorted_apply  # noqa: PLC0415
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"shuffle_join: how={how!r} not in ('inner', 'left')")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"shuffle_join: how={how!r} not in ('inner', 'left', 'full')")
     left_cols = [c for c in left_cols if c != on]
     right_cols = [c for c in right_cols if c != on]
     # output name per right payload column (collision → suffix)
@@ -161,10 +164,12 @@ def shuffle_join(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         key = batch.column(on).cast(key_t)
-        valid = pc.is_valid(key)
-        batch = batch.filter(valid)
-        key = key.filter(valid)
-        cols = {on: key, jk: key}
+        if how != "full":
+            # null right keys can contribute nothing unless FULL keeps them
+            valid = pc.is_valid(key)
+            batch = batch.filter(valid)
+            key = key.filter(valid)
+        cols = {on: key, jk: pc.fill_null(key, _null_sentinel(key_t))}
         for c in left_cols:
             cols[c] = pa.nulls(batch.num_rows, lt_types[c])
         for c in right_cols:
@@ -176,7 +181,7 @@ def shuffle_join(
     rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
     unioned = lt.union(rt)
     out_names = [on] + left_cols + [right_out[c] for c in right_cols]
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer", "full": "full outer"}[how]
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         side = np.asarray(tbl.column(SIDE_COL).combine_chunks())

@@ -91,6 +91,31 @@ def test_shuffle_join_mxn_expansion():
     assert sorted(got["rv"].unique()) == [10, 20, 30, 40]
 
 
+def test_shuffle_join_full_outer_matches_pandas(join_inputs):
+    left, right = join_inputs
+    got = _collect(
+        shuffle_join(_ds(left), _ds(right), on="k",
+                     left_cols=["lv"], right_cols=["rv"], how="full", num_buckets=8)
+    )
+    lp = left.to_pandas()[["k", "lv"]]
+    rp = right.to_pandas()[["k", "rv"]]
+    # SQL FULL OUTER: null keys never match but every row survives — split
+    # the pandas oracle into matched (non-null keys) + both null-key tails
+    ln, rn = lp[lp.k.isna()], rp[rp.k.isna()]
+    exp = pd.concat([
+        lp.dropna(subset=["k"]).merge(rp.dropna(subset=["k"]), on="k", how="outer"),
+        ln.assign(rv=np.nan),
+        rn.assign(lv=np.nan)[["k", "lv", "rv"]],
+    ])
+    assert len(got) == len(exp)
+    g, e = _norm(got), _norm(exp.reset_index(drop=True))
+    for c in ["k", "lv", "rv"]:
+        ga, ea = g[c].astype("float64"), e[c].astype("float64")
+        assert ga.isna().equals(ea.isna()) and np.allclose(ga.fillna(-1), ea.fillna(-1))
+    # unmatched rows of each side carry nulls on the other side
+    assert got.loc[got.lv.isna(), "rv"].notna().any() or (right.column("k").null_count == 0)
+
+
 def test_shuffle_join_left_keeps_null_keys(join_inputs):
     left, right = join_inputs
     got = _collect(

@@ -343,3 +343,70 @@ def test_cohort_retention_brute_force(multiday_events_dir):
     z = got[got.week_offset == 0].set_index("cohort_week").retained
     cs = f.value_counts().sort_index()
     assert (z.sort_index().values == cs.values).all()
+
+
+def test_events_since_purchase_brute_force(tied_events_dir):
+    got = (
+        QUERIES["events_since_purchase"](tied_events_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    raw = pq.read_table(f"{tied_events_dir}/events.parquet").to_pandas()
+    raw = raw.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    exp_rows = []
+    for _, g in raw.groupby("user_id"):
+        last_p = None
+        for i, (_, r) in enumerate(g.iterrows()):
+            if r.event_type == "purchase":
+                last_p = i
+            exp_rows.append((r.event_id, None if last_p is None else i - last_p))
+    exp = pd.DataFrame(exp_rows, columns=["event_id", "since"]).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    g = got.since_purchase.astype("float64")
+    e = exp.since.astype("float64")
+    assert g.isna().equals(e.isna())
+    assert np.allclose(g.fillna(-1), e.fillna(-1))
+
+
+def test_asof_nearest_brute_force(tied_events_dir):
+    got = (
+        QUERIES["asof_nearest_event"](tied_events_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    raw = pq.read_table(f"{tied_events_dir}/events.parquet").to_pandas()
+    raw = raw.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    rows = []
+    for _, g in raw.groupby("user_id"):
+        g = g.reset_index(drop=True)
+        for i, r in g.iterrows():
+            if r.event_type != "error":
+                continue
+            prev = g.iloc[:i]
+            prev = prev[prev.event_type == "purchase"]
+            nxt = g.iloc[i + 1 :]
+            nxt = nxt[nxt.event_type == "purchase"]
+            best = None
+            if not prev.empty:
+                p = prev.iloc[-1]
+                best = (int((r.ts - p.ts) // pd.Timedelta(microseconds=1)), p.event_id)
+            if not nxt.empty:
+                q = nxt.iloc[0]
+                gq = int((q.ts - r.ts) // pd.Timedelta(microseconds=1))
+                if best is None or gq < best[0]:
+                    best = (gq, q.event_id)
+            rows.append((r.event_id, None if best is None else best[1],
+                         None if best is None else best[0]))
+    exp = pd.DataFrame(rows, columns=["event_id", "pid", "gap"]).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    gp = got.nearest_purchase_id.astype("float64")
+    ep = exp.pid.astype("float64")
+    assert gp.isna().equals(ep.isna())
+    assert np.allclose(gp.fillna(-1), ep.fillna(-1))
+    assert np.allclose(
+        got.gap_us.astype("float64").fillna(-1), exp.gap.astype("float64").fillna(-1)
+    )
