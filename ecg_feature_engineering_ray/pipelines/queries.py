@@ -5188,3 +5188,149 @@ def asof_nearest_event(sf_dir: str):
         })
 
     return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "users_in_both_sources",
+    """
+    SELECT user_id FROM events
+    INTERSECT
+    SELECT o_custkey AS user_id FROM orders
+    """,
+)
+def users_in_both_sources(sf_dir: str):
+    """Set INTERSECT (distinct semantics) of two big key streams — the
+    "entities present in every source" audit.  Tagged union → ONE Arrow
+    partial per block (distinct (key, side) pairs) → one grouped count per
+    side → filter both>0.  Exchange carries distinct keys per block, never
+    rows."""
+    ev = _events(sf_dir, ["user_id"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch.column("user_id" if side == 1 else "o_custkey")
+            t = pa.table({"user_id": col,
+                          "s": pa.array(np.full(batch.num_rows, side, dtype=np.int64))})
+            g = t.group_by(["user_id", "s"]).aggregate([])
+            return g
+        return fn
+
+    u = ev.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def split_sides(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("s").combine_chunks())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "in_e": pa.array((s == 1).astype(np.int64)),
+            "in_o": pa.array((s == 0).astype(np.int64)),
+        })
+
+    sides = u.map_batches(split_sides, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(sides, ["user_id"], {"ne": ("in_e", "sum"), "no": ("in_o", "sum")})
+
+    def keep_both(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(batch.column("ne"), 0), pc.greater(batch.column("no"), 0))
+        return batch.filter(m).select(["user_id"])
+
+    return agg.map_batches(keep_both, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "orders_only_customers",
+    """
+    SELECT o_custkey AS user_id FROM orders
+    EXCEPT
+    SELECT user_id FROM events
+    """,
+)
+def orders_only_customers(sf_dir: str):
+    """Set EXCEPT (distinct semantics): keys in the orders stream with no
+    event activity — same tagged-union spine as INTERSECT, filtered to
+    one-side-only."""
+    ev = _events(sf_dir, ["user_id"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def tag(side: int, col_name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = pa.table({"user_id": batch.column(col_name),
+                          "s": pa.array(np.full(batch.num_rows, side, dtype=np.int64))})
+            return t.group_by(["user_id", "s"]).aggregate([])
+        return fn
+
+    u = orders.map_batches(tag(0, "o_custkey"), batch_format="pyarrow", zero_copy_batch=True).union(
+        ev.map_batches(tag(1, "user_id"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def split_sides(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("s").combine_chunks())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "in_e": pa.array((s == 1).astype(np.int64)),
+            "in_o": pa.array((s == 0).astype(np.int64)),
+        })
+
+    sides = u.map_batches(split_sides, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(sides, ["user_id"], {"ne": ("in_e", "sum"), "no": ("in_o", "sum")})
+
+    def keep_orders_only(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch.column("ne"), 0), pc.greater(batch.column("no"), 0))
+        return batch.filter(m).select(["user_id"])
+
+    return agg.map_batches(keep_orders_only, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "revenue_share_by_nation",
+    """
+    WITH r AS (
+      SELECT n.n_name AS nation, sum(ROUND(o.o_totalprice * 100)) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, ROUND(rev_c / 100, 6) AS revenue,
+           ROUND(rev_c / sum(rev_c) OVER (), 6) AS share
+    FROM r
+    """,
+)
+def revenue_share_by_nation(sf_dir: str):
+    """RATIO-TO-REPORT (percent-of-total window): each nation's share of
+    global revenue.  The grouped aggregate is the only real exchange; the
+    grand total is derived FROM the already-aggregated (≤ nations) rows with
+    one tiny global pass, then normalized map-side — integer-cents sums keep
+    the division bit-identical to the SQL window's."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).iter_batches(batch_format="pyarrow")]
+    )
+    nation = pa.concat_tables(
+        [pa.table(b) for b in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow")]
+    )
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    dim = dim.select(["c_custkey", "n_name"]).rename_columns(["o_custkey", "nation"])
+    joined = broadcast_join(orders, dim, on="o_custkey", how="inner")
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("o_totalprice").combine_chunks(), dtype=np.float64)
+        return pa.table({"nation": batch.column("nation"),
+                         "rev_c": pa.array(np.rint(v * 100))})
+
+    agg = grouped_agg(
+        joined.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["nation"], {"rev_c": ("rev_c", "sum")},
+    ).materialize()  # ≤ nations rows: reused for the total and the shares
+    total = float(sum(r["rev_c"] for r in agg.take_all()))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        rc = np.asarray(batch.column("rev_c").combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "nation": batch.column("nation"),
+            "revenue": pa.array(rnd(rc / 100.0), pa.float64()),
+            "share": pa.array(rnd(rc / total), pa.float64()),
+        })
+
+    return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
