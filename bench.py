@@ -111,6 +111,7 @@ NEARDUP_SUITE = [
     "ngram_jaccard_pairs",
     "simhash_near_dups",
     "embedding_near_dups",
+    "phash_near_dups",
 ]
 
 # round-4 aggregate classes (hopping windows, KMV distinct sketch,

@@ -5334,3 +5334,117 @@ def revenue_share_by_nation(sf_dir: str):
         })
 
     return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_PHASH_T = 2        # hamming threshold; 4 bands × 16 bits is complete for T ≤ 3
+_PHASH_BANDS = 4
+_PHASH_MAX_BUCKET = 4096
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — numpy<2 has no bitwise_count."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+@register(
+    "phash_near_dups",
+    f"""
+    WITH ph AS (
+      SELECT image_id, min(phash) AS phash
+      FROM read_parquet('{_FIXTURE_BASE}/events/*.parquet') GROUP BY image_id
+    )
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+    FROM ph a JOIN ph b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_T}
+    """,
+)
+def phash_near_dups(sf_dir: str):
+    """IMAGE near-dup pairs by perceptual-hash Hamming distance — the
+    visual-dedup step of an image-crawl pipeline, over the fixture's
+    deliberately hot/clustered phash column (north-rule skew analog).
+    Banded LSH on the 64-bit phash (4 × 16-bit bands, exact-match buckets):
+    pigeonhole-COMPLETE for Hamming ≤ 3 (T=2 here — a pair within T differs
+    in ≤ T bands, so ≥ 1 band is identical), so the banded scan provably
+    equals the all-pairs SQL oracle.  One canonicalizing aggregate
+    (min phash per image), one banded-bucket exchange with vectorized
+    segment pairing (fail-loud ``max_bucket``), Hamming computed map-side
+    (SWAR popcount) BEFORE the pair-dedup hash-aggregate — no all-pairs
+    stage, no driver materialization."""
+    events_dir, _ = _fixture(sf_dir)
+    from ..sources.readers import read_events
+
+    ds = read_events(events_dir, columns=["image_id", "phash"])
+    canon = grouped_agg(ds, ["image_id"], {"phash": ("phash", "min")})
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").combine_chunks()
+        ph = np.asarray(batch.column("phash").combine_chunks()).astype(np.uint64)
+        n = len(ph)
+        out_keys = np.empty(n * _PHASH_BANDS, dtype=np.int64)
+        for b in range(_PHASH_BANDS):
+            bits = (ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out_keys[b * n:(b + 1) * n] = (np.int64(b) << np.int64(16)) | bits.astype(np.int64)
+        rep_ids = pa.chunked_array([ids] * _PHASH_BANDS)
+        rep_ph = np.tile(ph.astype(np.int64), _PHASH_BANDS)
+        return pa.table({
+            "band_key": pa.array(out_keys, pa.int64()),
+            "image_id": rep_ids,
+            "phash": pa.array(rep_ph, pa.int64()),
+        })
+
+    emitted = canon.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_bucket(tbl: pa.Table) -> pa.Table:
+        starts, ends = entity_segments(tbl, "band_key")
+        sizes = ends - starts
+        empty = pa.table({
+            "id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        })
+        if sizes.size == 0:
+            return empty
+        if int(sizes.max()) > _PHASH_MAX_BUCKET:
+            raise ValueError(
+                f"phash band bucket of {int(sizes.max())} > {_PHASH_MAX_BUCKET}: "
+                "the phash domain is degenerate for 16-bit banding — use wider "
+                "bands or pre-split the hot band value"
+            )
+        ids = tbl.column("image_id").combine_chunks()
+        ph = np.asarray(tbl.column("phash").combine_chunks()).astype(np.uint64)
+        ia, ib = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            ia.append(iu + s)
+            ib.append(ju + s)
+        if not ia:
+            return empty
+        ia = np.concatenate(ia); ib = np.concatenate(ib)
+        d = _popcount64(ph[ia] ^ ph[ib])
+        keep = d <= _PHASH_T
+        ia, ib, d = ia[keep], ib[keep], d[keep]
+        a = ids.take(pa.array(ia)).cast(pa.string())
+        b = ids.take(pa.array(ib)).cast(pa.string())
+        swap = np.asarray(pc.greater(a, b))
+        lo = pc.if_else(pa.array(swap), b, a)
+        hi = pc.if_else(pa.array(swap), a, b)
+        return pa.table({"id_a": lo, "id_b": hi, "dist": pa.array(d, pa.int64())})
+
+    pairs = grouped_sorted_apply(emitted, "band_key", ["image_id"], pair_bucket, NB)
+    dedup = pairs.groupby(["id_a", "id_b"]).min("dist")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "dist": batch.column("min(dist)").cast(pa.int64()),
+        })
+
+    return dedup.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
