@@ -178,36 +178,50 @@ def variability(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def bin_stat(x: np.ndarray) -> np.ndarray:
-    """Two first-matching-bin histograms around 240 → counts + ratios (26 feats).
+_BIN_INTERVAL_1 = (1, 4, 8, 16, 32, 64, 128, 240)
+_BIN_INTERVAL_2 = (8, 32, 64, 128, 240)
 
-    Replicates the reference's descending first-match scan
-    (/root/reference/QRS_features.py:261-294): each |value-240| is assigned to
-    the FIRST offset bin (largest offset first) that it exceeds.
+
+def bin_edges(intervals) -> list[int]:
+    """The reference's TWO-SIDED descending bin edges around 240:
+    ``sorted([240+i] + [240-i], reverse=True)`` (QRS_features.py:268,280)."""
+    return sorted([240 + i for i in intervals] + [240 - i for i in intervals], reverse=True)
+
+
+def bin_stat(x: np.ndarray) -> np.ndarray:
+    """Two first-matching-bin histograms around 240 → counts + ratios (52 feats).
+
+    Replicates the reference scan EXACTLY (/root/reference/QRS_features.py:261-294):
+    bins are the two-sided descending edges ``240 ± interval`` and each RAW
+    value is assigned to the FIRST edge (largest first) it STRICTLY exceeds
+    — i.e. bin j holds values in (edge[j], edge[j-1]].  Values ≤ the lowest
+    edge (240−240 = 0) match no bin.  Output layout is the reference's
+    ``cnt_1 + ratio_1 + cnt_2 + ratio_2`` → 16+16+10+10 = 52.  Empty input
+    → all zeros (the reference returns [0.0]*52).
     """
-    offsets_a = np.array([240, 128, 64, 32, 16, 8, 4, 1], dtype=float)
-    offsets_b = np.array([240, 128, 64, 32, 8], dtype=float)
     out = []
-    for offs in (offsets_a, offsets_b):
-        counts = np.zeros(offs.size)
+    for intervals in (_BIN_INTERVAL_1, _BIN_INTERVAL_2):
+        edges_desc = np.array(bin_edges(intervals), dtype=float)
+        asc = edges_desc[::-1]
+        counts = np.zeros(edges_desc.size)
         if x.size:
-            dev = np.abs(x - 240.0)
-            # first offset (descending) that dev exceeds
-            exceeded = dev[None, :] >= offs[:, None]          # (n_offs, n)
-            first = np.argmax(exceeded, axis=0)
-            hit_any = exceeded.any(axis=0)
-            idx, cnt = np.unique(first[hit_any], return_counts=True)
-            counts[idx] = cnt
+            # last ascending edge strictly below the value (−1 → no bin)
+            pos = np.searchsorted(asc, x, side="left") - 1
+            hit = pos >= 0
+            j = (edges_desc.size - 1) - pos[hit]
+            counts += np.bincount(j, minlength=edges_desc.size)
         ratios = counts / x.size if x.size else np.zeros_like(counts)
         out.append(np.concatenate([counts, ratios]))
-    return np.concatenate(out)  # (8+8) + (5+5) = 26
+    return np.concatenate(out)  # (16+16) + (10+10) = 52
 
 
 def bin_stat_names() -> list[str]:
-    offs_a = [240, 128, 64, 32, 16, 8, 4, 1]
-    offs_b = [240, 128, 64, 32, 8]
-    names = [f"bin_a_cnt_{o}" for o in offs_a] + [f"bin_a_ratio_{o}" for o in offs_a]
-    names += [f"bin_b_cnt_{o}" for o in offs_b] + [f"bin_b_ratio_{o}" for o in offs_b]
+    """52 names keyed by each bin's LOWER edge (bins are half-open
+    (edge, prev_edge] intervals of the descending scan)."""
+    e1 = bin_edges(_BIN_INTERVAL_1)
+    e2 = bin_edges(_BIN_INTERVAL_2)
+    names = [f"bin1_cnt_{e}" for e in e1] + [f"bin1_ratio_{e}" for e in e1]
+    names += [f"bin2_cnt_{e}" for e in e2] + [f"bin2_ratio_{e}" for e in e2]
     return names
 
 

@@ -30,17 +30,79 @@ def fingerprint_md5(text: str) -> str:
     return md5_hex(text)
 
 
-def minhash_signature(text: str, num_perm: int = 8) -> list[str]:
-    """MinHash signature: per permutation i, min over tokens of md5(i||'|'||token).
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    Oracle-reproducible: ``min(md5(concat(i, '|', t)))`` per doc in SQL.
-    Duplicate tokens don't affect the min → true set semantics.
+
+def minhash_matrix(gram_lists: "list[list[str]]", num_perm: int) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash matrix — vectorized batch kernel.
+
+    Permutation ``p``'s hash of gram ``g`` is ``(a + p·b) mod 2**64`` with
+    ``(a, b)`` the little-endian 8-byte halves of ``md5(g)`` — Kirsch-
+    Mitzenmacher double hashing, bit-exact with DuckDB::
+
+        CAST((CAST(md5_number_upper(g) AS HUGEINT)
+              + p * CAST(md5_number_lower(g) AS HUGEINT))
+             % 18446744073709551616 AS UBIGINT)
+
+    Each DISTINCT gram in the batch is md5'd ONCE (dict-memoized across the
+    whole batch); permutation derivation and per-doc minima are numpy
+    (uint64 wraparound + ``minimum.reduceat`` over doc segments).  Duplicate
+    grams within a doc are harmless — min is set-semantic.  A doc with no
+    grams gets the all-(2**64−1) sentinel row.  Replaces the per-
+    (perm × gram) Python ``md5_hex`` loop that dominated minhash CPU at
+    scale (the signature pass is the whole-corpus stage of LSH dedup).
     """
-    toks = set(tokens(text))
-    sig = []
-    for i in range(num_perm):
-        sig.append(min(md5_hex(f"{i}|{t}") for t in toks) if toks else "")
-    return sig
+    n_docs = len(gram_lists)
+    out = np.full((n_docs, num_perm), _U64_MAX, dtype=np.uint64)
+    index: dict[str, int] = {}
+    lut_a: list[int] = []
+    lut_b: list[int] = []
+    # per-doc DISTINCT gram ids (duplicate instances are redundant under
+    # min) — on low-entropy corpora this shrinks the hash matrix ~4-5×
+    inv: list[int] = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for i, grams in enumerate(gram_lists):
+        seen: set[int] = set()
+        for g in grams:
+            k = index.get(g)
+            if k is None:
+                k = len(index)
+                index[g] = k
+                d = hashlib.md5(g.encode("utf-8")).digest()
+                lut_a.append(int.from_bytes(d[:8], "little"))
+                lut_b.append(int.from_bytes(d[8:16], "little"))
+            elif k in seen:
+                continue
+            seen.add(k)
+            inv.append(k)
+        counts[i] = len(seen)
+    if not inv:
+        return out
+    ix = np.array(inv, dtype=np.int64)
+    A = np.array(lut_a, dtype=np.uint64)[ix]
+    B = np.array(lut_b, dtype=np.uint64)[ix]
+    P = np.arange(num_perm, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        H = A[:, None] + P[None, :] * B[:, None]
+    nonempty = counts > 0
+    starts = (np.cumsum(counts) - counts)[nonempty]
+    out[nonempty] = np.minimum.reduceat(H, starts, axis=0)
+    return out
+
+
+def shingle_lists(texts: "list[str]", n: int = 5) -> "list[list[str]]":
+    """Char n-gram lists per text for :func:`minhash_matrix`.
+
+    Matches the SQL gram generator ``substr(text, i, n)`` for
+    ``i <= greatest(length(text) - n + 1, 1)``: texts shorter than ``n``
+    yield themselves as their only gram; empty texts yield no grams."""
+    out = []
+    for t in texts:
+        if len(t) < n:
+            out.append([t] if t else [])
+        else:
+            out.append([t[i : i + n] for i in range(len(t) - n + 1)])
+    return out
 
 
 def simhash64(text: str) -> int:
@@ -152,19 +214,3 @@ def bpe_ish_token_count(text: str) -> int:
     return n
 
 
-def minhash_signature_shingles(text: str, num_perm: int = 16, n: int = 5) -> list[str]:
-    """MinHash over char n-gram shingles — the SAME feature space the
-    near-dup verify stage measures (Jaccard of char-5-grams), which is what
-    makes banding selective: with unigram tokens from a small vocabulary,
-    thousands of documents share the globally-minimal token per permutation
-    and band buckets collapse into O(corpus) cliques (observed at sf0.1:
-    3 200-doc buckets → 21M candidate pairs).  Shingle space is large, so
-    minhash agreement tracks shingle-Jaccard as designed.
-
-    Oracle-reproducible: ``min(md5(concat(p, '|', g)))`` per doc over the
-    DISTINCT grams in SQL."""
-    grams = char_ngrams(text, n)
-    sig = []
-    for p in range(num_perm):
-        sig.append(min(md5_hex(f"{p}|{g}") for g in grams) if grams else "")
-    return sig

@@ -876,24 +876,30 @@ def exact_dedup_docs(sf_dir: str):
     "minhash_signatures",
     """
     SELECT doc_id,
-           min(md5(concat('0|', t))) AS mh0,
-           min(md5(concat('1|', t))) AS mh1
+           min(md5_number_upper(t)) AS mh0,
+           min(CAST((CAST(md5_number_upper(t) AS HUGEINT)
+                     + CAST(md5_number_lower(t) AS HUGEINT))
+                    % 18446744073709551616 AS UBIGINT)) AS mh1
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
     GROUP BY doc_id
     """,
 )
 def minhash_signatures(sf_dir: str):
-    """MinHash LSH prep: md5-based permutations are oracle-reproducible."""
+    """MinHash LSH prep — vectorized double-hash permutations.
+
+    Each distinct token is md5'd once; permutation ``p`` is
+    ``(upper + p·lower) mod 2**64`` (functions/text.minhash_matrix), which
+    DuckDB reproduces exactly via ``md5_number_upper/lower`` + HUGEINT mod."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def mh(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = [T.minhash_signature(t, num_perm=2) for t in texts]
+        H = T.minhash_matrix([T.tokens(t) for t in texts], num_perm=2)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "mh0": pa.array([s[0] for s in sigs], pa.string()),
-                "mh1": pa.array([s[1] for s in sigs], pa.string()),
+                "mh0": pa.array(H[:, 0]),
+                "mh1": pa.array(H[:, 1]),
             }
         )
 
@@ -1092,19 +1098,30 @@ def doc_quality_lang(sf_dir: str):
     return ds.map_batches(q, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _merge_topk(k: int):
-    """Per-query top-k merge for ``groupby("query_id").map_groups`` — each
-    group holds ≤ k candidates per upstream block, so the merge is tiny and
-    fully distributed (no driver-side materialization)."""
+def _topk_rank_merge(partials, k: int):
+    """Distributed per-query top-k merge of (query_id, neighbor_id, sim)
+    candidate streams on the Arrow-native ``per_group_top_k`` spine
+    (sim desc, neighbor_id asc ties; 1-based ``rank``; 6-digit rounding).
+    Each upstream block holds ≤ k candidates per query, so the exchange is
+    O(queries × k × blocks) — and no pandas conversion in the merge path."""
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["sim"] = rnd(g["sim"].to_numpy())
-        return g[["query_id", "neighbor_id", "sim", "rank"]]
+    def neg(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("sim").combine_chunks())
+        return batch.append_column("__negsim", pa.array(-s, pa.float64()))
 
-    return merge
+    keyed = partials.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
+    out = per_group_top_k(keyed, "query_id", ["__negsim", "neighbor_id"], k, NB,
+                          rank_name="rank")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": batch.column("query_id"),
+            "neighbor_id": batch.column("neighbor_id"),
+            "sim": pa.array(rnd(np.asarray(batch.column("sim").combine_chunks()))),
+            "rank": batch.column("rank"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _KNN_DOTS_SQL = """
@@ -1167,7 +1184,7 @@ def knn_topk(sf_dir: str, k: int = 5):
         )
 
     partials = ds.map_batches(topk_partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+    return _topk_rank_merge(partials, k)
 
 
 def _bucketed_candidate_pairs(
@@ -1486,13 +1503,16 @@ def _distributed_jaccard_verify(
       WHERE i <= greatest(length(text) - 4, 1)
     ),
     mh AS (
-      SELECT doc_id, p.i AS perm, min(md5(concat(p.i, '|', gram))) AS h
+      SELECT doc_id, p.i AS perm,
+             min(CAST((CAST(md5_number_upper(gram) AS HUGEINT)
+                       + p.i * CAST(md5_number_lower(gram) AS HUGEINT))
+                      % 18446744073709551616 AS UBIGINT)) AS h
       FROM grams0, range(0, 16) p(i)
       GROUP BY doc_id, p.i
     ),
     bandkeys AS (
       SELECT doc_id, (perm // 4) AS band,
-             string_agg(substr(h, 1, 8), '' ORDER BY perm) AS key
+             string_agg(CAST(h AS VARCHAR), ':' ORDER BY perm) AS key
       FROM mh GROUP BY doc_id, (perm // 4)
     ),
     cand_pairs AS (
@@ -1547,18 +1567,22 @@ def near_dup_pairs(sf_dir: str, num_perm: int = 16, bands: int = 4, max_bucket: 
 
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_band = [], []
-        for did, t in zip(ids, texts):
+        for t in texts:
             _guard_oracle_cap(len(t) - 4, 4096, "near_dup_pairs shingle count")
-            mh = T.minhash_signature_shingles(t, num_perm=num_perm)
-            for b in range(bands):
-                key = f"{b}:" + "".join(h[:8] for h in mh[b * rows_per_band : (b + 1) * rows_per_band])
-                out_id.append(did)
-                out_band.append(key)
+        # vectorized signature kernel: one md5 per DISTINCT shingle in the
+        # batch, numpy double-hash permutations + reduceat minima — the
+        # whole-corpus pass of LSH dedup carries no per-(perm × gram)
+        # Python hashing (functions/text.minhash_matrix)
+        H = T.minhash_matrix(T.shingle_lists(texts, 5), num_perm=num_perm)
+        ids = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        out_band = [
+            f"{b}:" + ":".join(str(int(h)) for h in row[b * rows_per_band : (b + 1) * rows_per_band])
+            for row in H
+            for b in range(bands)
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands)),
                 "band": pa.array(out_band, pa.string()),
             }
         )
@@ -2009,13 +2033,19 @@ def _round_feature_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+# family-kernel schema version: bump when a family vector's width/semantics
+# change so stale cached expected-parquets can't shadow the new oracle
+# (round 5: A19 bin_stat 26 → 52-wide reference-exact scan)
+_FAMILY_ORACLE_V = 2
+
+
 def _family_expected(events_dir: str, family: str, channels=("v",)) -> str:
     """Cache the independent direct-formula family oracle (tests/oracle.py
     oracle_family_table) as parquet for the driver's hash compare."""
     import pyarrow.parquet as _pq
 
     tag = family if channels == ("v",) else family + "_mc"
-    path = os.path.join(_FIXTURE_BASE, f"expected_family_{tag}.parquet")
+    path = os.path.join(_FIXTURE_BASE, f"expected_family_{tag}_v{_FAMILY_ORACLE_V}.parquet")
     if not os.path.exists(path):
         import sys
 
@@ -2050,13 +2080,15 @@ def _family_query(family: str):
 for _fam in ("hrv", "long", "qrs", "short"):
     QUERIES[f"{_fam}_features_family"] = _family_query(_fam)
     ORACLE[f"{_fam}_features_family"] = (
-        f"SELECT * FROM read_parquet('{_FIXTURE_BASE}/expected_family_{_fam}.parquet')"
+        f"SELECT * FROM read_parquet("
+        f"'{_FIXTURE_BASE}/expected_family_{_fam}_v{_FAMILY_ORACLE_V}.parquet')"
     )
 
 
 @register(
     "features_joined",
-    f"SELECT * FROM read_parquet('{_FIXTURE_BASE}/expected_joined.parquet')",
+    "SELECT * FROM read_parquet("
+    f"'{_FIXTURE_BASE}/expected_joined_v{_FAMILY_ORACLE_V}.parquet')",
 )
 def features_joined(sf_dir: str):
     """J1: all four family tables column-joined on (image_id, label) inside
@@ -2068,7 +2100,7 @@ def features_joined(sf_dir: str):
 
     events_dir, _ = _fixture(sf_dir)
     chans = ("v", "v_r", "v_g", "v_b")
-    path = os.path.join(_FIXTURE_BASE, "expected_joined.parquet")
+    path = os.path.join(_FIXTURE_BASE, f"expected_joined_v{_FAMILY_ORACLE_V}.parquet")
     if not os.path.exists(path):
         import pyarrow.parquet as _pq
 
@@ -2177,64 +2209,66 @@ def hash_split_counts(sf_dir: str):
     return grouped_agg(tagged, ["split"], {"n": ("*", "count")})
 
 
+# distributed k-means config (kmeans_embeddings) — defined here because the
+# IVF index below trains its list centroids with the same Lloyd trainer
+_KM_K = 8
+_KM_ITERS = 5
+_KM_SCALE = 2.0**20
+_KM_EXPECTED = "/tmp/efr_kmeans_expected.parquet"
+_IVF_EXPECTED = "/tmp/efr_knn_ivf_expected.parquet"
+
+
+def refresh_ivf_expected(sf_dir: str, n_lists: int = 16, n_probe: int = 4,
+                         k: int = 5, iters: int = _KM_ITERS) -> str:
+    """(Re)build the independent IVF oracle parquet — same cache-then-copy
+    contract as :func:`refresh_kmeans_expected` (config-hashed cache,
+    atomic copy to the static path the registered SQL reads, driver's
+    query-before-SQL ordering)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    tag = _hl.md5(
+        f"{os.path.abspath(sf_dir)}|{n_lists}|{n_probe}|{k}|{iters}|{_KM_SCALE}".encode()
+    ).hexdigest()[:12]
+    cached = f"/tmp/efr_knn_ivf_expected_{tag}.parquet"
+    if not os.path.exists(cached):
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import oracle_knn_ivf
+
+        exp = oracle_knn_ivf(sf_dir, n_lists=n_lists, n_probe=n_probe, k=k,
+                             iters=iters, scale=_KM_SCALE)
+        _pq.write_table(pa.Table.from_pandas(exp, preserve_index=False), cached + ".tmp")
+        os.replace(cached + ".tmp", cached)
+    _sh.copyfile(cached, _IVF_EXPECTED + ".tmp")
+    os.replace(_IVF_EXPECTED + ".tmp", _IVF_EXPECTED)
+    return cached
+
+
 @register(
     "knn_ivf",
-    """
-    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
-    vc AS (
-      SELECT v.vec_id, c.cid,
-             sum(CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
-               / (sqrt(sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
-                  * sqrt(sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))) AS sim
-      FROM embeddings v, c, range(1, 65) t(i)
-      GROUP BY v.vec_id, c.cid
-    ),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-        FROM vc) WHERE rn = 1
-    ),
-    probes AS (
-      SELECT query_id, cid FROM (
-        SELECT q.query_id, vc.cid,
-               row_number() OVER (PARTITION BY q.query_id ORDER BY vc.sim DESC, vc.cid) AS rn
-        FROM q JOIN vc ON vc.vec_id = q.query_id) WHERE rn <= 4
-    ),
-    cand AS (
-      SELECT p.query_id, a.vec_id
-      FROM probes p JOIN assign a ON a.cid = p.cid
-      WHERE a.vec_id <> p.query_id
-    ),
-    dots AS (
-      SELECT cd.query_id, cd.vec_id,
-             sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS dot,
-             sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS nq,
-             sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne
-      FROM cand cd
-      JOIN q ON q.query_id = cd.query_id
-      JOIN embeddings e ON e.vec_id = cd.vec_id, range(1, 65) t(i)
-      GROUP BY cd.query_id, cd.vec_id
-    ),
-    ranked AS (
-      SELECT query_id, vec_id AS neighbor_id, dot / (nq * ne) AS sim,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY dot / (nq * ne) DESC, vec_id) AS rank
-      FROM dots
-    )
-    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 5
-    """,
+    f"SELECT * FROM read_parquet('{_IVF_EXPECTED}')",
 )
-def knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4, k: int = 5):
-    """ANN scale path: IVF-style bucketed search.  Deterministic centroids
-    (first n_lists vectors), nearest-centroid assignment inside map_batches,
-    search only the query's ``n_probe`` nearest lists, then a distributed
-    groupby(query_id) top-k merge.  Brute-force baseline: ``knn_topk``."""
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    c_ids, Cn = _query_matrix(ds, n_lists)
+def knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4, k: int = 5,
+            iters: int = _KM_ITERS):
+    """ANN scale path: IVF bucketed search with KMEANS-TRAINED list
+    centroids (the shared exact fixed-point Lloyd trainer,
+    :func:`_lloyd_centroids` — round-4 verdict item 5; previously the lists
+    were the raw first ``n_lists`` vectors).  Nearest-centroid assignment
+    inside map_batches, search only the query's ``n_probe`` nearest lists,
+    then the distributed Arrow-native top-k merge.  Brute-force baseline:
+    ``knn_topk``.  The trained-centroid index is an iterative algorithm, so
+    the oracle is the independent single-threaded twin
+    (tests/oracle.oracle_knn_ivf) cached as parquet — the same
+    expected-parquet gate as ``kmeans_embeddings``."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    C = _lloyd_centroids(ds, n_lists, iters)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     q_ids, Qn = _query_matrix(ds, 3)
+    refresh_ivf_expected(sf_dir, n_lists=n_lists, n_probe=n_probe, k=k, iters=iters)
     # stable sort ⇒ centroid ties break toward the lowest id (matches the
     # oracle's ORDER BY sim DESC, cid)
     probe_lists = {
@@ -2270,7 +2304,7 @@ def knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4, k: int = 5):
                          "sim": pa.array(np.concatenate(out_s))})
 
     partials = ds.map_batches(search, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+    return _topk_rank_merge(partials, k)
 
 
 NEAR_DUP_COS = 0.4  # driver data is near-random (max off-diag cosine ≈ 0.51)
@@ -2845,42 +2879,63 @@ def kernel_poincare(sf_dir: str):
     )
 
 
-_BIN_OFFS_A = [240, 128, 64, 32, 16, 8, 4, 1]
-_BIN_CASES = "\n".join(
-    "      count(*) FILTER (WHERE abs(value - 240) >= {o}{ub}) AS bin_a_cnt_{o},\n"
-    "      ROUND(CAST(count(*) FILTER (WHERE abs(value - 240) >= {o}{ub}) AS DOUBLE)\n"
-    "            / count(*), 6) AS bin_a_ratio_{o},".format(
-        o=o, ub=(f" AND abs(value - 240) < {prev}" if prev is not None else "")
-    )
-    for o, prev in zip(_BIN_OFFS_A, [None] + _BIN_OFFS_A[:-1])
-).rstrip(",")
+def _bin_sql_cases() -> str:
+    """One count+ratio column pair per two-sided descending bin — bin j is
+    the half-open interval (edge[j], edge[j-1]] of the strict first-match
+    scan (functions/stats.bin_stat, QRS_features.py:261-294)."""
+    from ..functions.stats import _BIN_INTERVAL_1, _BIN_INTERVAL_2, bin_edges
+
+    parts = []
+    for side, intervals in (("bin1", _BIN_INTERVAL_1), ("bin2", _BIN_INTERVAL_2)):
+        edges = bin_edges(intervals)
+        for e, prev in zip(edges, [None] + edges[:-1]):
+            ub = f" AND value <= {prev}" if prev is not None else ""
+            parts.append(
+                f"      count(*) FILTER (WHERE value > {e}{ub}) AS {side}_cnt_{e},\n"
+                f"      ROUND(CAST(count(*) FILTER (WHERE value > {e}{ub}) AS DOUBLE)\n"
+                f"            / count(*), 6) AS {side}_ratio_{e},"
+            )
+    return "\n".join(parts).rstrip(",")
 
 
 @register(
     "kernel_bins",
     f"""
     SELECT user_id,
-{_BIN_CASES}
+{_bin_sql_cases()}
     FROM events GROUP BY user_id
     """,
 )
 def kernel_bins(sf_dir: str):
-    """A19 bin_stat first-match descending scan (QRS_features.py:261-294)
-    over |value - 240| — the 8-offset histogram block (counts + ratios)."""
-    from ..functions.stats import bin_stat
+    """A19 bin_stat first-match descending scan (QRS_features.py:261-294):
+    TWO-SIDED 240±offset edges, strict `>`, 16+10 bins → 52 features
+    (counts + ratios for both interval sets)."""
+    from ..functions.stats import (
+        _BIN_INTERVAL_1,
+        _BIN_INTERVAL_2,
+        bin_edges,
+        bin_stat,
+    )
+
+    n1 = len(bin_edges(_BIN_INTERVAL_1))
+    n2 = len(bin_edges(_BIN_INTERVAL_2))
 
     def f(ts, v):
-        b = bin_stat(v)  # 8 cnt_a, 8 ratio_a, 5 cnt_b, 5 ratio_b
+        b = bin_stat(v)  # n1 cnt_1, n1 ratio_1, n2 cnt_2, n2 ratio_2
         out = []
-        for j in range(8):
+        for j in range(n1):
             out.append(int(b[j]))
-            out.append(float(rnd(b[8 + j])))
+            out.append(float(rnd(b[n1 + j])))
+        for j in range(n2):
+            out.append(int(b[2 * n1 + j]))
+            out.append(float(rnd(b[2 * n1 + n2 + j])))
         return tuple(out)
 
     spec: dict = {}
-    for o in _BIN_OFFS_A:
-        spec[f"bin_a_cnt_{o}"] = pa.int64()
-        spec[f"bin_a_ratio_{o}"] = pa.float64()
+    for side, intervals in (("bin1", _BIN_INTERVAL_1), ("bin2", _BIN_INTERVAL_2)):
+        for e in bin_edges(intervals):
+            spec[f"{side}_cnt_{e}"] = pa.int64()
+            spec[f"{side}_ratio_{e}"] = pa.float64()
     return _per_user_stats(sf_dir, spec, f)
 
 
@@ -3900,7 +3955,10 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K,
             "tfidf": pa.array([], pa.float64()),
             "term_rank": pa.array([], pa.int64()),
         }))
-    vocab = pa.concat_tables(vocab_parts)
+    # term-SORTED vocab: index_in positions double as lexicographic term
+    # ranks, so the per-batch top-k tie-break is pure-numeric lexsort (no
+    # pandas / object-dtype comparisons in the scale path)
+    vocab = pa.concat_tables(vocab_parts).sort_by("term")
     terms_ref = ray.put(vocab.column("term").combine_chunks())
     df_ref = ray.put(
         vocab.column("sum(df_part)").combine_chunks().to_numpy(zero_copy_only=False)
@@ -3914,21 +3972,27 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K,
                              "term": pa.array([], pa.string()),
                              "tfidf": pa.array([], pa.float64()),
                              "term_rank": pa.array([], pa.int64())})
-        pdf = g.to_pandas()
-        n_live = pdf.groupby("doc_id")["cnt"].transform("sum").to_numpy(dtype=np.float64)
+        doc = np.asarray(g.column("doc_id").combine_chunks()).astype(np.int64)
+        cnt = np.asarray(g.column("cnt").combine_chunks()).astype(np.float64)
+        _, inv = np.unique(doc, return_inverse=True)
+        n_live = np.bincount(inv, weights=cnt)[inv]
         idx = pc.index_in(g.column("term"), value_set=ray.get(terms_ref)).to_numpy(
             zero_copy_only=False
         )
-        dfc = ray.get(df_ref)[idx]
-        pdf["s"] = (pdf["cnt"].to_numpy(dtype=np.float64) / n_live) * np.log(n_docs / dfc)
-        pdf = pdf.sort_values(["doc_id", "s", "term"], ascending=[True, False, True])
-        top = pdf.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
-        rank = top.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        s = (cnt / n_live) * np.log(n_docs / ray.get(df_ref)[idx])
+        # per-doc top-k, same segment-position idiom as groupagg.per_group_top_k:
+        # (doc asc, score desc, term asc) with the term tie as its vocab rank
+        order = np.lexsort((idx, -s, doc))
+        sd = doc[order]
+        new = np.concatenate(([True], sd[1:] != sd[:-1]))
+        pos = np.arange(sd.size) - np.flatnonzero(new)[np.cumsum(new) - 1]
+        keep = pos < k
+        take = order[keep]
         return pa.table({
-            "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64)),
-            "term": pa.array(top["term"], pa.string()),
-            "tfidf": pa.array(rnd(top["s"].to_numpy())),
-            "term_rank": pa.array(rank.astype(np.int64)),
+            "doc_id": pa.array(doc[take]),
+            "term": g.column("term").combine_chunks().take(pa.array(take)),
+            "tfidf": pa.array(rnd(s[take])),
+            "term_rank": pa.array(pos[keep] + 1, pa.int64()),
         })
 
     return ds.map_batches(score_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -4578,17 +4642,52 @@ def asof_next_event(sf_dir: str):
     return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
 
 
-_KM_K = 8
-_KM_ITERS = 5
-_KM_SCALE = 2.0**20
-_KM_EXPECTED = "/tmp/efr_kmeans_expected.parquet"
 
 
 def _emb_f64(batch: pa.Table) -> np.ndarray:
-    """list<float32> column → (n, d) float64 matrix, zero-copy flatten."""
+    """list<float32> column → (n, d) float64 matrix, zero-copy flatten.
+
+    ``flatten()`` (not ``.values``) — it respects ListArray slice offsets,
+    so a zero-copy sliced block can't reshape misaligned data (same idiom
+    as :func:`_emb_matrix`)."""
     col = batch.column("embedding").combine_chunks()
-    flat = np.asarray(col.values, dtype=np.float64)
+    flat = np.asarray(col.flatten(), dtype=np.float64)
     return flat.reshape(batch.num_rows, -1)
+
+
+def refresh_kmeans_expected(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """(Re)build the independent k-means oracle parquet for this config.
+
+    The single-threaded pandas oracle (tests/oracle.oracle_kmeans) is CACHED
+    per (sf_dir, k, iters) under a config-hashed path — recomputing it inside
+    ``kmeans_embeddings`` every call put oracle CPU + parquet I/O inside
+    bench's timed window (round-4 ADVICE).  The cached file is then
+    atomically copied to the static ``_KM_EXPECTED`` path the registered
+    oracle SQL reads (the SQL string is fixed at registration, so it cannot
+    embed sf_dir; the query-before-SQL ordering of the driver's gate makes
+    the copy race-free for sequential gates — concurrent gates over
+    DIFFERENT sf_dirs would last-writer-win the static path, each right
+    before its own SQL run).  bench.py calls this untimed before the RELML
+    block so the timed query measures only the engine."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    tag = _hl.md5(f"{os.path.abspath(sf_dir)}|{k}|{iters}|{_KM_SCALE}".encode()).hexdigest()[:12]
+    cached = f"/tmp/efr_kmeans_expected_{tag}.parquet"
+    if not os.path.exists(cached):
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import oracle_kmeans
+
+        exp = oracle_kmeans(sf_dir, k=k, iters=iters, scale=_KM_SCALE)
+        _pq.write_table(pa.Table.from_pandas(exp, preserve_index=False), cached + ".tmp")
+        os.replace(cached + ".tmp", cached)
+    _sh.copyfile(cached, _KM_EXPECTED + ".tmp")
+    os.replace(_KM_EXPECTED + ".tmp", _KM_EXPECTED)
+    return cached
 
 
 @register(
@@ -4607,20 +4706,52 @@ def kmeans_embeddings(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS):
     (n·2²⁰)) so the result is independent of block count / summation order:
     that is what makes a distributed iterative float algorithm
     hash-comparable to a single-threaded oracle (tests/oracle.oracle_kmeans,
-    recomputed fresh for this sf_dir every run).  Empty clusters keep their
+    cached per (sf_dir, k, iters) — refresh_kmeans_expected).  Empty
+    clusters keep their
     previous centroid; distance ties break toward the lower cluster id.
     Reference analog: the label-grouped centroid features of
     challenge2020 preprocessing generalized to unsupervised clusters."""
-    import pyarrow.parquet as _pq
-
-    d = None  # inferred from the first init row
     # Iterative algorithm: pin the PRUNED 2-column projection in the object
     # store once (Spark-style cache; Ray spills blocks if it outgrows memory)
     # instead of re-reading parquet on every Lloyd pass.
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    C = _lloyd_centroids(ds, k, iters)
+    cref = ray.put(C)
 
-    # init: the k vectors with the smallest vec_id < k (bounded driver pull)
+    def assign_out(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(cref)
+        X = _emb_f64(batch)
+        d2 = ((X[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(X)), a]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "dist_sq": pa.array(rnd(best), pa.float64()),
+        })
+
+    # refresh the independent-oracle parquet for THIS input — cached per
+    # (sf_dir, k, iters), so repeat runs (bench) pay a file copy, not the
+    # single-threaded oracle recompute (see refresh_kmeans_expected)
+    refresh_kmeans_expected(sf_dir, k=k, iters=iters)
+
+    return ds.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lloyd_centroids(ds, k: int, iters: int) -> np.ndarray:
+    """Distributed exact fixed-point Lloyd training → (k, d) centroid matrix.
+
+    The training loop of ``kmeans_embeddings``, factored out so the IVF
+    index (``knn_ivf``) trains its list centroids from the same clustering
+    step instead of using raw vectors.  Per pass: one streaming map emits
+    ≤ k×(d+1) fixed-point sufficient-statistic rows per batch, one tiny
+    ``groupby.sum`` reduces, centroids update as Σ rint(x·2²⁰)/(n·2²⁰) —
+    exact integer arithmetic, so the result is independent of block count
+    and reproducible by the single-threaded oracle twin."""
     init = ds.filter(expr=f"vec_id < {k}").take_all()
+    if len(init) != k:  # fail-loud: sparse ids would silently diverge from
+        # the oracle's searchsorted init (same contract as _guard_oracle_cap)
+        raise ValueError(f"kmeans init expects vec_ids 0..{k - 1}; found {len(init)} rows")
     init.sort(key=lambda r: r["vec_id"])
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in init])
     d = C.shape[1]
@@ -4665,32 +4796,7 @@ def kmeans_embeddings(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS):
         C = C.copy()
         C[nz] = sums[nz] / (cnts[nz, None] * _KM_SCALE)
 
-    cref = ray.put(C)
-
-    def assign_out(batch: pa.Table) -> pa.Table:
-        Cl = ray.get(cref)
-        X = _emb_f64(batch)
-        d2 = ((X[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
-        a = np.argmin(d2, axis=1)
-        best = d2[np.arange(len(X)), a]
-        return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "cluster": pa.array(a.astype(np.int64), pa.int64()),
-            "dist_sq": pa.array(rnd(best), pa.float64()),
-        })
-
-    # refresh the independent-oracle parquet for THIS input (the oracle SQL
-    # reads a static path; the driver always runs the query before its SQL)
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-    from tests.oracle import oracle_kmeans
-
-    exp = oracle_kmeans(sf_dir, k=k, iters=iters, scale=_KM_SCALE)
-    _pq.write_table(pa.Table.from_pandas(exp, preserve_index=False), _KM_EXPECTED + ".tmp")
-    os.replace(_KM_EXPECTED + ".tmp", _KM_EXPECTED)
-
-    return ds.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)
+    return C
 
 
 @register(
@@ -4945,8 +5051,11 @@ def rolling_active_users(sf_dir: str):
         gap[0] = W
         gap[1:] = d[1:] - d[:-1]
         cnt = np.where(first, W, np.minimum(gap, W))
-        # rows with duplicate day per user can't occur (spine is per-user
-        # sorted distinct pairs), so cnt >= 1 everywhere
+        # dedup of the (user, day) spine is block-local only, so a duplicate
+        # pair CAN straddle blocks and reach here with gap == 0 → cnt == 0:
+        # correct (a repeat day adds no newly-covered days; np.repeat with a
+        # 0 count emits nothing), just not the cnt >= 1 invariant a fully
+        # deduped spine would give
         total = int(cnt.sum())
         run_start = d + W - cnt  # first NEW covered day of row i
         offs = np.arange(total, dtype=np.int64) - np.repeat(

@@ -392,13 +392,16 @@ def oracle_qrs_vector(ts_us, v):
     b1 = _o_basic(u, True)
     b2 = _o_basic(rm, False)
     b3 = _o_basic(np.diff(u[1:-1]) if u.size >= 4 else np.array([]), False)
-    # first-match descending bins on |u - 240|
+    # first-match descending two-sided bins on RAW u (QRS_features.py:261-294:
+    # edges 240±offset sorted descending, strict `>`)
     bins = []
-    for offs in ([240, 128, 64, 32, 16, 8, 4, 1], [240, 128, 64, 32, 8]):
-        cnt = [0] * len(offs)
-        for val in np.abs(u - 240.0):
-            for bi, o in enumerate(offs):
-                if val >= o:
+    for intervals in ([1, 4, 8, 16, 32, 64, 128, 240], [8, 32, 64, 128, 240]):
+        edges = sorted([240 + i for i in intervals] + [240 - i for i in intervals],
+                       reverse=True)
+        cnt = [0] * len(edges)
+        for val in u:
+            for bi, e in enumerate(edges):
+                if val > e:
                     cnt[bi] += 1
                     break
         bins += [float(c) for c in cnt] + [c / u.size for c in cnt]
@@ -802,6 +805,32 @@ def oracle_thumbnails(events_dir: str) -> pd.DataFrame:
     return out
 
 
+def _oracle_lloyd(sf_dir: str, k: int, iters: int, scale: float):
+    """Single-threaded exact fixed-point Lloyd training — shared by the
+    k-means and IVF oracles.  Returns (vec_id, X, C): ids ascending, the
+    float64 vector matrix in that order, and the trained (k, d) centroids."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl.column("vec_id").combine_chunks()), kind="stable")
+    vec_id = np.asarray(tbl.column("vec_id").combine_chunks())[order]
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )[order]
+    Q = np.rint(X * scale).astype(np.int64)
+    if not np.array_equal(vec_id[:k], np.arange(k)):  # fail-loud, matching
+        # the engine's init guard: sparse ids would silently pick different
+        # init rows via searchsorted and the two sides would diverge
+        raise ValueError(f"oracle_kmeans expects vec_ids 0..{k - 1} present; got {vec_id[:k]}")
+    C = X[np.searchsorted(vec_id, np.arange(k))].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = Q[m].sum(axis=0, dtype=np.int64) / (m.sum() * scale)
+    return vec_id, X, C
+
+
 def oracle_kmeans(sf_dir: str, k: int = 8, iters: int = 5, scale: float = 2.0**20) -> pd.DataFrame:
     """Independent single-threaded Lloyd k-means over the embeddings table.
 
@@ -814,21 +843,7 @@ def oracle_kmeans(sf_dir: str, k: int = 8, iters: int = 5, scale: float = 2.0**2
     (np.argmin).  Distances are computed with the same broadcast expression
     the engine uses so the 64-element pairwise sums match bit-for-bit.
     """
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(tbl.column("vec_id").combine_chunks()), kind="stable")
-    vec_id = np.asarray(tbl.column("vec_id").combine_chunks())[order]
-    X = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
-    )[order]
-    Q = np.rint(X * scale).astype(np.int64)
-    C = X[np.searchsorted(vec_id, np.arange(k))].copy()
-    for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d2, axis=1)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                C[j] = Q[m].sum(axis=0, dtype=np.int64) / (m.sum() * scale)
+    vec_id, X, C = _oracle_lloyd(sf_dir, k, iters, scale)
     d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     assign = np.argmin(d2, axis=1)
     best = d2[np.arange(len(X)), assign]
@@ -838,3 +853,35 @@ def oracle_kmeans(sf_dir: str, k: int = 8, iters: int = 5, scale: float = 2.0**2
         "cluster": assign.astype(np.int64),
         "dist_sq": r,
     })
+
+
+def oracle_knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4, k: int = 5,
+                   iters: int = 5, scale: float = 2.0**20, n_queries: int = 3) -> pd.DataFrame:
+    """Independent single-threaded IVF search with KMEANS-TRAINED lists.
+
+    Twin of queries.knn_ivf: centroids from the shared exact fixed-point
+    Lloyd trainer, L2-normalized; every vector assigned to its max-cosine
+    centroid (argmax → lowest cid on ties); per query the ``n_probe``
+    highest-cosine lists are searched (stable sort → lowest cid on ties),
+    excluding self; global top-k by (sim desc, neighbor_id asc) with
+    1-based rank, sims rounded to 6 digits.  All float expressions use the
+    same numpy broadcasts as the engine so values match bit-for-bit.
+    """
+    vec_id, X, C = _oracle_lloyd(sf_dir, n_lists, iters, scale)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Vn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    assign = np.argmax(Vn @ Cn.T, axis=1)
+    qm = vec_id < n_queries
+    q_ids = vec_id[qm]
+    Qn = X[qm] / np.linalg.norm(X[qm], axis=1, keepdims=True)
+    rows = []
+    for j, qid in enumerate(q_ids):
+        plist = np.argsort(-(Qn[j] @ Cn.T), kind="stable")[:n_probe]
+        mask = np.isin(assign, plist) & (vec_id != qid)
+        sims = Qn[j] @ Vn[mask].T
+        cand = vec_id[mask]
+        top = np.lexsort((cand, -sims))[:k]
+        r = np.copysign(np.floor(np.abs(sims[top]) * 1e6 + 0.5) / 1e6, sims[top])
+        for rank, (nb, sv) in enumerate(zip(cand[top], r), 1):
+            rows.append((int(qid), int(nb), float(sv), rank))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim", "rank"])

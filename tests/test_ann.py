@@ -27,9 +27,10 @@ def test_knn_ivf_recall_vs_bruteforce():
         got = set(ivf[ivf.query_id == qid].neighbor_id)
         recalls.append(len(want & got) / len(want))
     mean_recall = sum(recalls) / len(recalls)
-    # 4 of 16 probe lists on near-random vectors: recall well above the
-    # 0.25 random-probe floor because neighbors cluster toward query lists
-    assert mean_recall >= 0.2, mean_recall
+    # 4 of 16 KMEANS-TRAINED probe lists: neighbors concentrate into the
+    # query's lists (measured 0.87 on this fixture vs ~0.2-0.5 with the
+    # untrained first-n_lists-vectors index of rounds ≤ 4)
+    assert mean_recall >= 0.5, mean_recall
     # every IVF hit must be a genuine vector id with sane cosine
     assert ivf.sim.between(-1.000001, 1.000001).all()
 

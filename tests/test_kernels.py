@@ -68,12 +68,37 @@ def test_rolling_median3():
 
 
 def test_bin_stat_first_match_semantics():
-    # value 250 → |250-240|=10 ≥ 8 → bin '8' (first offset, descending, that it exceeds)
-    x = np.array([250.0])
-    out = stats.bin_stat(x)
+    # reference-width check: 16+16+10+10 = 52 features (QRS_features.py:261-294)
     names = stats.bin_stat_names()
-    assert out[names.index("bin_a_cnt_8")] == 1
-    assert out[names.index("bin_a_cnt_4")] == 0
+    assert len(names) == 52
+    # value 250 strictly exceeds edge 248 first (descending two-sided scan);
+    # 248 exactly does NOT exceed 248 → falls to edge 244
+    out = stats.bin_stat(np.array([250.0]))
+    assert out[names.index("bin1_cnt_248")] == 1
+    assert out[names.index("bin1_cnt_244")] == 0
+    assert out[names.index("bin2_cnt_248")] == 1
+    out = stats.bin_stat(np.array([248.0]))
+    assert out[names.index("bin1_cnt_248")] == 0
+    assert out[names.index("bin1_cnt_244")] == 1
+    # ≤ lowest edge (0) matches nothing; empty input is all zeros
+    assert stats.bin_stat(np.array([-3.0, 0.0])).sum() == 0
+    assert stats.bin_stat(np.array([])).shape == (52,)
+    # brute-force twin of the reference's double loop
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-10, 500, 300)
+    out = stats.bin_stat(x)
+    for intervals, side in (((1, 4, 8, 16, 32, 64, 128, 240), "bin1"),
+                            ((8, 32, 64, 128, 240), "bin2")):
+        edges = sorted([240 + i for i in intervals] + [240 - i for i in intervals],
+                       reverse=True)
+        cnt = [0] * len(edges)
+        for v in x:
+            for j, e in enumerate(edges):
+                if v > e:
+                    cnt[j] += 1
+                    break
+        for j, e in enumerate(edges):
+            assert out[names.index(f"{side}_cnt_{e}")] == cnt[j]
 
 
 def test_periodogram_parseval():
@@ -107,3 +132,45 @@ def test_autocorr_lag0_is_one():
     x = rng.normal(size=200)
     ac = stats.autocorr(x, 3)
     assert np.isclose(ac[0], 1.0)
+
+
+def test_minhash_matrix_duckdb_parity_and_set_semantics():
+    """minhash_matrix must equal DuckDB's
+    (md5_number_upper + p·md5_number_lower) mod 2⁶⁴ min per doc — the exact
+    formula the near_dup_pairs / minhash_signatures oracles use — and be
+    insensitive to duplicate grams (min is set-semantic)."""
+    import duckdb
+    import numpy as np
+
+    from ecg_feature_engineering_ray.functions import text as T
+
+    gram_lists = [["abcde", "bcdef", "abcde"], ["zzzzz"], [], ["bcdef"]]
+    H = T.minhash_matrix(gram_lists, num_perm=4)
+    assert H.shape == (4, 4) and H.dtype == np.uint64
+    # duplicate-free twin must match exactly
+    H2 = T.minhash_matrix([list(dict.fromkeys(g)) for g in gram_lists], num_perm=4)
+    assert (H == H2).all()
+    # empty doc → sentinel row
+    assert (H[2] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    con = duckdb.connect()
+    for i, grams in enumerate(gram_lists):
+        if not grams:
+            continue
+        vals = ",".join(f"('{g}')" for g in set(grams))
+        got = con.sql(
+            "SELECT p.i, min(CAST((CAST(md5_number_upper(g) AS HUGEINT)"
+            " + p.i * CAST(md5_number_lower(g) AS HUGEINT))"
+            " % 18446744073709551616 AS UBIGINT))"
+            f" FROM (VALUES {vals}) v(g), range(0, 4) p(i) GROUP BY p.i ORDER BY p.i"
+        ).fetchall()
+        assert [int(h) for _, h in got] == [int(x) for x in H[i]], f"doc {i}"
+
+
+def test_shingle_lists_matches_sql_gram_generator():
+    from ecg_feature_engineering_ray.functions import text as T
+
+    # substr(text, i, 5) for i <= greatest(len-4, 1): short text is its own
+    # gram, empty text has none
+    assert T.shingle_lists(["abcdefg"], 5) == [["abcde", "bcdef", "cdefg"]]
+    assert T.shingle_lists(["abc"], 5) == [["abc"]]
+    assert T.shingle_lists([""], 5) == [[]]
