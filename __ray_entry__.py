@@ -45,10 +45,15 @@ _SNAPSHOT_FIRST = [
     "asof_next_event", "kmeans_embeddings", "top_event_type_per_user",
     "funnel_signup_purchase", "value_decile_assign", "rolling_active_users",
     "cohort_retention", "join_user_order_activity", "events_since_purchase",
-    "asof_nearest_event", "users_in_both_sources", "orders_only_customers",
-    "revenue_share_by_nation", "phash_near_dups",
+    "asof_nearest_event", "phash_near_dups",
+    # round-5 additions (grouped z-score, rolling window median, weighted
+    # sampling) — brand-new oracles belong in the driver artifact
+    "zscore_by_type", "rolling_median7_per_user", "weighted_sample_docs",
     # round-5-modified queries that round 4 did sample
     "minhash_signatures", "near_dup_pairs", "knn_ivf", "qrs_features_family",
+    # (users_in_both_sources / orders_only_customers / revenue_share_by_nation
+    # — unchanged since their round-4 local verification — moved past the
+    # 50-entry snapshot window to make room; still in the full local gate)
 ]
 
 

@@ -161,6 +161,14 @@ RELML_SUITE = [
     "asof_nearest_event",
 ]
 
+# round-5 additions (grouped z-score, rolling window median, weighted
+# sampling) — separate block, same comparability rationale
+R5_SUITE = [
+    "zscore_by_type",
+    "rolling_median7_per_user",
+    "weighted_sample_docs",
+]
+
 
 def fixture_dirs(prof: dict) -> tuple[str, str]:
     """Bench fixture (cached across runs — generation is deterministic)."""
@@ -430,6 +438,7 @@ def run_suite() -> dict:
     cp_times: dict[str, float] = {}
     jn_times: dict[str, float] = {}
     rm_times: dict[str, float] = {}
+    r5_times: dict[str, float] = {}
     if prof["run_suite"]:
         for name in SUITE:
             t0 = time.time()
@@ -477,6 +486,12 @@ def run_suite() -> dict:
             if hasattr(res, "count"):
                 res.count()
             rm_times[name] = round(time.time() - t0, 3)
+        for name in R5_SUITE:
+            t0 = time.time()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            r5_times[name] = round(time.time() - t0, 3)
 
     total = round(sum(q_times.values()) + flagship_s, 3)
     result = {
@@ -484,12 +499,13 @@ def run_suite() -> dict:
         "value": total,
         "unit": "sec",
         "queries": {**q_times, **nd_times, **sk_times, **cp_times, **jn_times,
-                    **rm_times, "flagship_pit": round(flagship_s, 3)},
+                    **rm_times, **r5_times, "flagship_pit": round(flagship_s, 3)},
         "neardup_suite_s": round(sum(nd_times.values()), 3),
         "sketch_suite_s": round(sum(sk_times.values()), 3),
         "corpus_suite_s": round(sum(cp_times.values()), 3),
         "join_suite_s": round(sum(jn_times.values()), 3),
         "relml_suite_s": round(sum(rm_times.values()), 3),
+        "r5_suite_s": round(sum(r5_times.values()), 3),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "profile": PROFILE,

@@ -107,18 +107,45 @@ def shingle_lists(texts: "list[str]", n: int = 5) -> "list[list[str]]":
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over tokens (md5-based), signed int64 for Arrow."""
-    toks = tokens(text)
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = md5_u64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    val = np.uint64(0)
-    for b in (acc > 0).astype(np.uint64):
-        val = np.uint64(val << np.uint64(1)) | b
-    return int(val.astype(np.int64))
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts: "list[str]") -> np.ndarray:
+    """Vectorized batch SimHash — bit-identical to the original per-token
+    loop (each token's md5_u64 bit i votes ±1 on bit i; final bit b_i set
+    when the vote sum is > 0; packed with shift-0 as the MSB).
+
+    Each DISTINCT token in the batch is md5'd ONCE; per-doc vote sums are a
+    ``reduceat`` over instance bit rows (multiplicity preserved — SimHash
+    weights repeated tokens, unlike MinHash).  ``split(" ")`` always yields
+    ≥ 1 token (the empty text votes with md5(""), exactly like the
+    original loop).  Returns int64."""
+    n_docs = len(texts)
+    index: dict[str, int] = {}
+    lut: list[int] = []
+    inv: list[int] = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for g in toks:
+            k = index.get(g)
+            if k is None:
+                k = len(index)
+                index[g] = k
+                lut.append(md5_u64(g))
+            inv.append(k)
+        counts[i] = len(toks)
+    if not index:
+        return np.zeros(n_docs, dtype=np.int64)
+    U = np.array(lut, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    votes = (2 * ((U[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)) - 1
+    ix = np.array(inv, dtype=np.int64)
+    starts = np.cumsum(counts) - counts  # every doc has ≥ 1 token
+    acc = np.add.reduceat(votes[ix], starts, axis=0)
+    weights = np.uint64(1) << (np.uint64(63) - shifts)  # shift 0 → MSB
+    vals = ((acc > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return vals.view(np.int64)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -155,14 +182,33 @@ def jaccard(a: set, b: set) -> float:
 def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> list[int]:
     """Winnowing-style document fingerprint: rolling-hash windows, keep hashes
     ≡ 0 (mod keep_mod).  Reference analog: none (training-data extension)."""
-    if len(text) < window:
-        return [md5_u64(text) % (1 << 32)] if text else []
-    out = []
-    for i in range(len(text) - window + 1):
-        h = md5_u64(text[i : i + window]) % (1 << 32)
-        if h % keep_mod == 0:
-            out.append(h)
-    return sorted(set(out))
+    return rolling_fingerprints_batch([text], window=window, keep_mod=keep_mod)[0]
+
+
+def rolling_fingerprints_batch(texts: "list[str]", window: int = 16,
+                               keep_mod: int = 8) -> "list[list[int]]":
+    """Batch winnowing with cross-doc window memoization: each DISTINCT
+    window string in the batch is md5'd once (duplicated/boilerplate spans —
+    the whole point of winnowing — repeat windows heavily, so the memo
+    removes most of the hash cost).  Per-doc output is identical to
+    :func:`rolling_fingerprint`: the sorted set of 32-bit window hashes
+    ≡ 0 (mod keep_mod); short texts hash whole, empty texts have none."""
+    memo: dict[str, int] = {}
+    out: list[list[int]] = []
+    for t in texts:
+        if len(t) < window:
+            out.append([md5_u64(t) % (1 << 32)] if t else [])
+            continue
+        fps: set[int] = set()
+        for i in range(len(t) - window + 1):
+            w = t[i : i + window]
+            h = memo.get(w)
+            if h is None:
+                h = memo[w] = md5_u64(w) % (1 << 32)
+            if h % keep_mod == 0:
+                fps.add(h)
+        out.append(sorted(fps))
+    return out
 
 
 _STOPWORDS = {

@@ -1028,7 +1028,7 @@ def simhash_docs(sf_dir: str):
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array([T.simhash64(t) for t in texts], pa.int64()),
+                "simhash": pa.array(T.simhash64_batch(texts), pa.int64()),
             }
         )
 
@@ -3160,7 +3160,6 @@ def doc_fingerprints(sf_dir: str):
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        n_fps, mn, mx = [], [], []
         for t in texts:
             _guard_oracle_cap(len(t) - 15, 4096, "doc_fingerprints window count")
             if 0 < len(t) < 16:
@@ -3171,7 +3170,8 @@ def doc_fingerprints(sf_dir: str):
                     f"doc_fingerprints: text shorter than the 16-char window "
                     f"(len={len(t)}) is outside the oracle contract"
                 )
-            fps = T.rolling_fingerprint(t)
+        n_fps, mn, mx = [], [], []
+        for fps in T.rolling_fingerprints_batch(texts):  # batch window memo
             n_fps.append(len(fps))
             mn.append(fps[0] if fps else None)
             mx.append(fps[-1] if fps else None)
@@ -3243,20 +3243,17 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 4096)
 
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_bkey, out_sh = [], [], []
-        for did, t in zip(ids, texts):
-            sh = T.simhash64(t)
-            u = sh & ((1 << 64) - 1)
-            for b in range(4):
-                # injective (band, 16-bit key) → one int64 blocking key, so
-                # the pair expansion rides the shared single-key bucket spine
-                out_id.append(did)
-                out_bkey.append((b << 16) | ((u >> (16 * b)) & 0xFFFF))
-                out_sh.append(sh)
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "bkey": pa.array(out_bkey, pa.int64()),
-                         "simhash": pa.array(out_sh, pa.int64())})
+        ids = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        sh = T.simhash64_batch(texts)
+        u = sh.view(np.uint64)
+        b = np.arange(4, dtype=np.uint64)
+        # injective (band, 16-bit key) → one int64 blocking key, so the
+        # pair expansion rides the shared single-key bucket spine
+        bkey = ((b << np.uint64(16))[None, :]
+                | ((u[:, None] >> (np.uint64(16) * b[None, :])) & np.uint64(0xFFFF)))
+        return pa.table({"doc_id": pa.array(np.repeat(ids, 4)),
+                         "bkey": pa.array(bkey.reshape(-1).astype(np.int64)),
+                         "simhash": pa.array(np.repeat(sh, 4))})
 
     banded = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -4067,14 +4064,14 @@ def dup_clusters(sf_dir: str, max_rounds: int = 64):
         ids = batch.column("doc_id").to_pylist()
         hs: list[int] = []
         ds_: list[int] = []
-        for i, t in zip(ids, texts):
+        for t in texts:
             _guard_oracle_cap(len(t) - 15, 4096, "dup_clusters window count")
             if 0 < len(t) < 16:
                 raise ValueError(
                     f"dup_clusters: text shorter than the 16-char window "
                     f"(len={len(t)}) is outside the oracle contract"
                 )
-            f = T.rolling_fingerprint(t)
+        for i, f in zip(ids, T.rolling_fingerprints_batch(texts)):  # batch memo
             hs.extend(f)
             ds_.extend([i] * len(f))
         return pa.table({"h": pa.array(hs, pa.int64()),
@@ -5557,3 +5554,190 @@ def phash_near_dups(sf_dir: str):
         })
 
     return dedup.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: grouped normalization, rolling window median, weighted
+# sampling — the remaining standard feature-engineering transforms
+# ---------------------------------------------------------------------------
+
+@register(
+    "zscore_by_type",
+    """
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS cv
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, sum(cv) AS s1, sum(cv * cv) AS s2, count(*) AS n
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type,
+           ROUND((c.value - s.s1 / (100.0 * s.n))
+                 / sqrt(s.s2 / (10000.0 * s.n)
+                        - (s.s1 / (100.0 * s.n)) * (s.s1 / (100.0 * s.n))), 6)
+             AS zscore
+    FROM c JOIN s USING (event_type)
+    """,
+)
+def zscore_by_type(sf_dir: str):
+    """Per-group z-score normalization (feature scaling by class) — the
+    grouped-standardization transform of classic feature pipelines
+    (reference analog: per-class normalization intent of
+    preprocess-300hz.py's per-record scaling, generalized to groups).
+
+    Scale shape: ONE partial-aggregate pass collapses each block to
+    ≤ groups rows of integer sufficient statistics (Σcents, Σcents²,
+    n — exact int64, so the merged moments are order-independent and
+    bit-reproducible by the SQL oracle), one tiny ``grouped_agg``
+    exchange, then the group-moment map is broadcast and the z-scores
+    are computed in a second streaming pass.  No sort, no big shuffle."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def parts(batch: pa.Table) -> pa.Table:
+        d = batch.column("event_type").combine_chunks().dictionary_encode()
+        idx = np.asarray(d.indices)
+        v = np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+        cv = np.rint(v * 100)  # exact integers ≪ 2^53: float sums stay exact
+        kk = len(d.dictionary)
+        return pa.table({
+            "event_type": d.dictionary,
+            "s1": pa.array(np.bincount(idx, weights=cv, minlength=kk).astype(np.int64)),
+            "s2": pa.array(np.bincount(idx, weights=cv * cv, minlength=kk).astype(np.int64)),
+            "n": pa.array(np.bincount(idx, minlength=kk).astype(np.int64)),
+        })
+
+    stats = grouped_agg(
+        ds.map_batches(parts, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], {"s1": ("s1", "sum"), "s2": ("s2", "sum"), "n": ("n", "sum")},
+    ).take_all()  # ≤ #event_types rows
+    model = {}
+    for r in stats:
+        mu = r["s1"] / (100.0 * r["n"])
+        var = r["s2"] / (10000.0 * r["n"]) - mu * mu
+        model[r["event_type"]] = (mu, float(np.sqrt(var)))
+    mref = ray.put(model)
+
+    def z(batch: pa.Table) -> pa.Table:
+        mdl = ray.get(mref)
+        d = batch.column("event_type").combine_chunks().dictionary_encode()
+        idx = np.asarray(d.indices)
+        lut = np.array([mdl[t] for t in d.dictionary.to_pylist()], dtype=np.float64)
+        v = np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+        zs = (v - lut[idx, 0]) / lut[idx, 1]
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "zscore": pa.array(rnd(zs)),
+        })
+
+    return ds.map_batches(z, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "rolling_median7_per_user",
+    """
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+    """,
+)
+def rolling_median7_per_user(sf_dir: str):
+    """Rolling 7-row median per user (robust smoothing over the event
+    stream — the windowed generalization of the reference's 3-point
+    rolling median, QRS_features.py preprocessing).  Runs on the bucket
+    spine; inside each bucket the whole computation is ONE vectorized
+    nanmedian over a NaN-padded sliding-window view (the 6-NaN gap between
+    entity segments makes window boundaries per-entity without any
+    per-entity Python loop)."""
+    W = 7
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "med7": pa.array([], pa.float64())})
+        starts, ends = entity_segments(tbl, "user_id")
+        v = np.asarray(tbl.column("value").combine_chunks(), dtype=np.float64)
+        seg_id = np.repeat(np.arange(starts.size), ends - starts)
+        padded = np.full(n + (W - 1) * starts.size, np.nan)
+        pos = np.arange(n) + (W - 1) * (seg_id + 1)
+        padded[pos] = v
+        sw = np.lib.stride_tricks.sliding_window_view(padded, W)
+        meds = np.nanmedian(sw[pos - (W - 1)], axis=1)
+        return pa.table({
+            "event_id": tbl.column("event_id"),
+            "user_id": tbl.column("user_id"),
+            "med7": pa.array(rnd(meds)),
+        })
+
+    return grouped_sorted_apply(ds, "user_id", ["ts", "event_id"], per_bucket, NB)
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow(CAST(('0x' || substr(md5(concat('ws|', doc_id)), 1, 13)) AS UBIGINT)
+                   / 4503599627370496.0,
+                 1.0 / n_chars) AS k
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id, n_chars, k,
+             row_number() OVER (ORDER BY k DESC, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT doc_id, n_chars, ROUND(k, 6) AS sample_key, sample_rank
+    FROM r WHERE sample_rank <= 20
+    """,
+)
+def weighted_sample_docs(sf_dir: str, n: int = 20):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, public algorithm): per doc a retry-safe md5-derived
+    uniform u, key = u^(1/weight) with weight = n_chars, global top-n by
+    key — longer documents are proportionally more likely to be kept, the
+    standard size-weighted corpus subsample.  Distributed as block-local
+    top-n pre-prune + one O(blocks × n) merge on the per_group_top_k
+    spine (single synthetic group) — never a global sort."""
+    import hashlib as _hl
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        w = np.asarray(batch.column("n_chars").combine_chunks()).astype(np.float64)
+        m = w > 0
+        ids, w = ids[m], w[m]
+        u = np.fromiter(
+            (int(_hl.md5(f"ws|{i}".encode()).hexdigest()[:13], 16) for i in ids),
+            dtype=np.float64, count=ids.size,
+        ) / float(1 << 52)
+        k = np.power(u, 1.0 / w)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_chars": pa.array(w.astype(np.int64)),
+            "k": pa.array(k),
+            "__negk": pa.array(-k),
+            "__g": pa.array(np.zeros(ids.size, np.int8)),
+        })
+
+    top = per_group_top_k(
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        "__g", ["__negk", "doc_id"], n, NB, rank_name="sample_rank",
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "sample_key": pa.array(rnd(np.asarray(batch.column("k").combine_chunks()))),
+            "sample_rank": batch.column("sample_rank"),
+        })
+
+    return top.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
