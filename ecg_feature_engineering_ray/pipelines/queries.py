@@ -5741,3 +5741,312 @@ def weighted_sample_docs(sf_dir: str, n: int = 20):
         })
 
     return top.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions, part 2: benchmark decontamination, Gopher-style
+# repetition filtering, sequence packing — the remaining standard
+# LLM-training-data curation operators
+# ---------------------------------------------------------------------------
+
+_DECON_N = 3          # token n-gram width.  Production decontamination
+                      # uses 8-13 grams (e.g. GPT-3 appendix C); the
+                      # synthetic 32-token test corpus has zero 8-gram
+                      # overlap, so the gate runs at width 3 — the kernel
+                      # and oracle share this one constant.
+_DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+@register(
+    "decontaminate_docs",
+    f"""
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    pos AS (
+      SELECT doc_id, a, unnest(range(1, greatest(len(a) - {_DECON_N - 2}, 1))) AS i
+      FROM arr
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(a[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM pos
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_BENCH_MOD} = 0)
+    SELECT g.doc_id, count(*) AS n_shared
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % {_DECON_BENCH_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag every training document sharing at
+    least one token n-gram (width ``_DECON_N``) with the held-out benchmark
+    set (docs with
+    ``doc_id % 97 == 0`` stand in for the eval set), reporting the count of
+    distinct shared grams.  The published n-gram-overlap decontamination
+    procedure of LLM corpus builds (reference analog: none — training-data
+    extension, like the dedup family).
+
+    Scale shape: the benchmark side is SMALL by nature (eval sets are
+    thousands of docs, not billions), so its distinct-gram set is built in
+    one streaming pass, deduped on the driver (bounded by benchmark size,
+    fail-loud cap) and BROADCAST via ``ray.put`` — the training corpus then
+    streams through one stateless ``map_batches`` membership pass
+    (``np.searchsorted`` into the sorted gram-hash array).  No shuffle
+    touches the corpus.  Grams are md5-u64 hashed once per DISTINCT gram
+    per batch (the minhash kernel's memoization pattern); the oracle
+    compares gram STRINGS, which the 64-bit hash reproduces up to a
+    ~n²/2⁶⁴ collision probability (same contract as the minhash/ngram
+    dedup family)."""
+    from ..functions.hashing import md5_u64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_gram_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_idx, gram_u64) pairs — DISTINCT grams per doc, memoized
+        across the batch (low-entropy corpora repeat grams heavily)."""
+        memo: dict[str, int] = {}
+        out_doc: list[int] = []
+        out_h: list[int] = []
+        for di, t in enumerate(texts):
+            toks = t.split(" ")
+            if len(toks) < _DECON_N:
+                continue
+            seen: set[int] = set()
+            for j in range(len(toks) - _DECON_N + 1):
+                g = " ".join(toks[j : j + _DECON_N])
+                h = memo.get(g)
+                if h is None:
+                    h = memo[g] = md5_u64(g)
+                if h not in seen:
+                    seen.add(h)
+                    out_doc.append(di)
+                    out_h.append(h)
+        return (np.array(out_doc, dtype=np.int64),
+                np.array(out_h, dtype=np.uint64))
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        m = ids % _DECON_BENCH_MOD == 0
+        texts = batch.column("text").filter(pa.array(m)).to_pylist()
+        _, h = doc_gram_hashes(texts)
+        return pa.table({"gram_h": pa.array(np.unique(h))})
+
+    # benchmark gram set: bounded by the (small) benchmark, not the corpus
+    rows = ds.map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    bench = np.unique(np.array([r["gram_h"] for r in rows], dtype=np.uint64))
+    _guard_oracle_cap(bench.size, 50_000_000, "benchmark distinct n-gram count")
+    bref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bref)
+        ids = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        m = ids % _DECON_BENCH_MOD != 0
+        ids = ids[m]
+        texts = batch.column("text").filter(pa.array(m)).to_pylist()
+        di, h = doc_gram_hashes(texts)
+        if h.size == 0 or bset.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        pos = np.searchsorted(bset, h)
+        hit = (pos < bset.size) & (bset[np.minimum(pos, bset.size - 1)] == h)
+        n = np.bincount(di[hit], minlength=len(texts))
+        nz = np.flatnonzero(n)
+        return pa.table({"doc_id": pa.array(ids[nz]),
+                         "n_shared": pa.array(n[nz].astype(np.int64))})
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "doc_repetition_filter",
+    """
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    tok AS (SELECT doc_id, unnest(a) AS t FROM arr),
+    tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    tt AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM tf GROUP BY 1),
+    pos AS (
+      SELECT doc_id, a, unnest(range(1, greatest(len(a) - 1, 1))) AS i FROM arr
+    ),
+    g AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS gram FROM pos),
+    gc AS (
+      SELECT doc_id, count(*) AS t_total, count(DISTINCT gram) AS t_distinct
+      FROM g GROUP BY 1
+    )
+    SELECT tt.doc_id,
+           CAST(tt.n AS BIGINT) AS n_tokens,
+           ROUND(CAST(tt.mx AS DOUBLE) / tt.n, 6) AS top_tok_ratio,
+           ROUND(coalesce(CAST(gc.t_total - gc.t_distinct AS DOUBLE) / gc.t_total,
+                          0.0), 6) AS dup_tri_ratio,
+           CASE WHEN CAST(tt.mx AS DOUBLE) / tt.n <= 0.2
+                 AND coalesce(CAST(gc.t_total - gc.t_distinct AS DOUBLE)
+                              / gc.t_total, 0.0) <= 0.1
+                THEN 1 ELSE 0 END AS keep
+    FROM tt LEFT JOIN gc USING (doc_id)
+    """,
+)
+def doc_repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality filter (Rae et al. 2021, public):
+    per document the duplicate-trigram fraction and the top-token frequency
+    fraction, plus a keep flag at the (0.1, 0.2) thresholds.  Reference
+    analog: none — training-data extension.
+
+    Scale shape: ONE stateless streaming pass, fully Arrow/numpy
+    vectorized — tokenization is ``pc.split_pattern`` + flatten +
+    ``dictionary_encode`` (no Python token loop), trigram identity is the
+    EXACT packed triple of dictionary ids (21 bits each, fail-loud batch
+    vocab cap — no hash collisions at all), and per-doc distinct/max
+    statistics are lexsort + run-length reductions.  No shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "top_tok_ratio": pa.array([], pa.float64()),
+                             "dup_tri_ratio": pa.array([], pa.float64()),
+                             "keep": pa.array([], pa.int64())})
+        splits = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        lens = np.asarray(pc.list_value_length(splits), dtype=np.int64)
+        d = splits.flatten().dictionary_encode()
+        if len(d.dictionary) >= (1 << 21):
+            raise ValueError(
+                f"batch token vocabulary {len(d.dictionary)} >= 2^21: shrink "
+                "batch_size so the exact packed-trigram key fits in int64"
+            )
+        tok = np.asarray(d.indices, dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n), lens)
+        starts = np.cumsum(lens) - lens
+
+        # top-token multiplicity per doc: runs of (doc, token) after lexsort
+        order = np.lexsort((tok, doc_idx))
+        sd, st = doc_idx[order], tok[order]
+        new_run = np.ones(sd.size, dtype=bool)
+        new_run[1:] = (sd[1:] != sd[:-1]) | (st[1:] != st[:-1])
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_start, sd.size))
+        run_doc = sd[run_start]
+        doc_first_run = np.flatnonzero(
+            np.concatenate(([True], run_doc[1:] != run_doc[:-1])))
+        mx = np.maximum.reduceat(run_len, doc_first_run)  # every doc has ≥1 token
+
+        # exact trigram distinct count per doc: packed dictionary-id triples
+        tri_counts = np.maximum(lens - 2, 0)
+        total = int(tri_counts.sum())
+        dup_ratio = np.zeros(n, dtype=np.float64)
+        if total:
+            tri_doc = np.repeat(np.arange(n), tri_counts)
+            offs = (np.arange(total)
+                    - np.repeat(np.cumsum(tri_counts) - tri_counts, tri_counts))
+            p = np.repeat(starts, tri_counts) + offs
+            key = (tok[p] << 42) | (tok[p + 1] << 21) | tok[p + 2]
+            o2 = np.lexsort((key, tri_doc))
+            kd, kk = tri_doc[o2], key[o2]
+            nr = np.ones(kd.size, dtype=bool)
+            nr[1:] = (kd[1:] != kd[:-1]) | (kk[1:] != kk[:-1])
+            distinct = np.bincount(kd[nr], minlength=n)
+            has = tri_counts > 0
+            dup_ratio[has] = (tri_counts[has] - distinct[has]) / tri_counts[has]
+
+        top_ratio = mx / lens
+        keep = ((top_ratio <= 0.2) & (dup_ratio <= 0.1)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(lens),
+            "top_tok_ratio": pa.array(rnd(top_ratio)),
+            "dup_tri_ratio": pa.array(rnd(dup_ratio)),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_PACK_SEQ = 2048       # training sequence length (tokens)
+_PACK_RANGE = 4096     # doc_id range width per prefix-scan bucket
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST((cum - n_tokens) // {_PACK_SEQ} AS BIGINT) AS seq_start,
+           CAST((cum - 1) // {_PACK_SEQ} AS BIGINT) AS seq_end
+    FROM c
+    """,
+)
+def pack_sequences(sf_dir: str):
+    """Sequence packing (concat-then-chunk): lay every document out on the
+    single global token axis in doc_id order and report each doc's token
+    offset and the [seq_start, seq_end] range of 2048-token training
+    sequences it lands in — the standard LLM pretraining batch-packing
+    transform.  Reference analog: the fixed-length record chunking of
+    preprocess-300hz.py (≤43200-sample windows), generalized to a packed
+    global axis.
+
+    Scale shape: a DISTRIBUTED PREFIX SCAN — pass 1 sums tokens per
+    contiguous ``doc_id // {_PACK_RANGE}`` range (partial aggregate, tiny
+    exchange), the driver exclusive-scans the ≤ corpus/{_PACK_RANGE} range
+    sums (bounded, broadcast via ``ray.put``), pass 2 runs on the bucket
+    spine where each range's docs are contiguous and sorted so the
+    within-range cumsum is one vectorized pass.  No global sort, no
+    sequential driver loop over rows."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counted(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        lens = np.asarray(pc.list_value_length(splits), dtype=np.int64)
+        ids = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(lens),
+            "rng": pa.array(ids // _PACK_RANGE),
+        })
+
+    tok = ds.map_batches(counted, batch_format="pyarrow", zero_copy_batch=True)
+    rng_sums = grouped_agg(tok, ["rng"], {"tok_sum": ("n_tokens", "sum")}).take_all()
+    _guard_oracle_cap(len(rng_sums), 10_000_000, "prefix-scan range-bucket count")
+    rng_ids = np.array([r["rng"] for r in rng_sums], dtype=np.int64)
+    sums = np.array([r["tok_sum"] for r in rng_sums], dtype=np.int64)
+    o = np.argsort(rng_ids)
+    rng_ids, sums = rng_ids[o], sums[o]
+    offsets = dict(zip(rng_ids.tolist(), (np.cumsum(sums) - sums).tolist()))
+    oref = ray.put(offsets)
+
+    def pack(tbl: pa.Table) -> pa.Table:
+        offs = ray.get(oref)
+        if tbl.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "tok_start": pa.array([], pa.int64()),
+                             "seq_start": pa.array([], pa.int64()),
+                             "seq_end": pa.array([], pa.int64())})
+        starts, ends = entity_segments(tbl, "rng")
+        ids = np.asarray(tbl.column("doc_id").combine_chunks())
+        nt = np.asarray(tbl.column("n_tokens").combine_chunks())
+        cum = np.cumsum(nt)
+        # rebase each range segment: subtract the segment-local prefix and
+        # add the broadcast global offset of that doc_id range
+        seg_id = np.repeat(np.arange(starts.size), ends - starts)
+        seg_base = np.concatenate(([0], cum[ends[:-1] - 1]))[seg_id]
+        rng_vals = np.asarray(tbl.column("rng").combine_chunks())
+        glob = np.array([offs[int(r)] for r in rng_vals[starts]], dtype=np.int64)
+        tok_start = cum - nt - seg_base + glob[seg_id]
+        tok_end = tok_start + nt
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(nt),
+            "tok_start": pa.array(tok_start),
+            "seq_start": pa.array(tok_start // _PACK_SEQ),
+            "seq_end": pa.array((tok_end - 1) // _PACK_SEQ),
+        })
+
+    return grouped_sorted_apply(tok, "rng", ["doc_id"], pack, NB)
