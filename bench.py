@@ -162,11 +162,15 @@ RELML_SUITE = [
 ]
 
 # round-5 additions (grouped z-score, rolling window median, weighted
-# sampling) — separate block, same comparability rationale
+# sampling, decontamination, repetition filter, sequence packing) —
+# separate block, same comparability rationale
 R5_SUITE = [
     "zscore_by_type",
     "rolling_median7_per_user",
     "weighted_sample_docs",
+    "decontaminate_docs",
+    "doc_repetition_filter",
+    "pack_sequences",
 ]
 
 
