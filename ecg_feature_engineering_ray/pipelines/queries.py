@@ -6050,3 +6050,297 @@ def pack_sequences(sf_dir: str):
         })
 
     return grouped_sorted_apply(tok, "rng", ["doc_id"], pack, NB)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (part 3): LM-quality scoring, training-shard manifests, product
+# quantization — the scoring / output / ANN-compression steps of an LLM
+# training-data pipeline
+# ---------------------------------------------------------------------------
+
+_LM_MAX_VOCAB = 4_000_000
+_LM_SCALE = 2.0**30  # fixed-point grain for per-token log-probs
+
+
+@register(
+    "unigram_logprob_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt),
+    q AS (
+      SELECT w, CAST(round(ln(c / tot.s) * 1073741824.0) AS BIGINT) AS qp
+      FROM cnt, tot
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           ROUND(sum(q.qp) / (count(*) * 1073741824.0), 6) AS avg_logprob
+    FROM tok JOIN q ON tok.w = q.w
+    GROUP BY tok.doc_id
+    """,
+)
+def unigram_logprob_docs(sf_dir: str, max_vocab: int = _LM_MAX_VOCAB):
+    """Per-document mean unigram log-probability — the LM-perplexity quality
+    proxy of corpus curation (CCNet-style: score every document under a
+    language model fit on the corpus itself; low mean log-prob = atypical /
+    junk text).  Reference analog: the class-frequency record weighting of
+    preprocess-300hz.py:133-141 lifted to an open token vocabulary.
+
+    Same two-pass Spark-MLlib shape as ``tfidf_top_terms``: (1) ONE
+    vocabulary-sized ``groupby(term).sum`` over per-batch partial counts —
+    O(vocab × blocks) rows ship, never a token stream; (2) the finished
+    log-prob table is broadcast once (``ray.put``) and every batch scores
+    its documents locally.  The per-token log-prob is QUANTIZED to int64
+    fixed-point (round(ln(c/S)·2³⁰), half-away like SQL ROUND) so the
+    per-document sum is exact integer arithmetic — independent of summation
+    order, which is what makes a float-log aggregate hash-comparable to the
+    oracle (same trick as the k-means fixed-point centroid updates).
+    Vocabulary must fit a worker heap (fail-loud ``max_vocab``, same
+    contract as tfidf); per-doc sums stay < 2⁵³ for docs ≤ ~400 k tokens."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cnt_partials(batch: pa.Table) -> pa.Table:
+        g = _doc_term_counts(batch)
+        d = g.group_by("term").aggregate([("cnt", "sum")])
+        return pa.table({"term": d.column("term"),
+                         "c_part": d.column("cnt_sum").cast(pa.int64())})
+
+    cds = (
+        ds.map_batches(cnt_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term").sum("c_part").materialize()
+    )
+    n_vocab = cds.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary {n_vocab} exceeds the broadcast bound max_vocab="
+            f"{max_vocab}: route pass 2 through a token-keyed shuffle join"
+        )
+    parts = [t for t in ray.get(cds.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "avg_logprob": pa.array([], pa.float64())})
+    if not parts:
+        return ray.data.from_arrow(empty)
+    vocab = pa.concat_tables(parts).sort_by("term")
+    c = vocab.column("sum(c_part)").combine_chunks().to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+    v = np.log(c / c.sum()) * _LM_SCALE
+    qp = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)  # SQL ROUND
+    terms_ref = ray.put(vocab.column("term").combine_chunks())
+    qp_ref = ray.put(qp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        g = _doc_term_counts(batch)
+        if g.num_rows == 0:
+            return empty
+        doc = np.asarray(g.column("doc_id").combine_chunks()).astype(np.int64)
+        cnt = np.asarray(g.column("cnt").combine_chunks()).astype(np.int64)
+        idx = pc.index_in(g.column("term"), value_set=ray.get(terms_ref)) \
+                .to_numpy(zero_copy_only=False)
+        contrib = cnt * ray.get(qp_ref)[idx]  # exact int64
+        order = np.argsort(doc, kind="stable")
+        d_s = doc[order]
+        bounds = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        sums = np.add.reduceat(contrib[order], bounds)
+        ntok = np.add.reduceat(cnt[order], bounds)
+        return pa.table({
+            "doc_id": pa.array(d_s[bounds], pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "avg_logprob": pa.array(rnd(sums / (ntok * _LM_SCALE)), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SHARDS_N = 8
+_SHARD_RNG = 256  # order-preserving key-space ranges for the prefix scan
+
+
+@register(
+    "shuffle_shard_manifest",
+    f"""
+    WITH k AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(h, 1, 8))::UBIGINT % {_SHARDS_N} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ('0x' || substr(h, 1, 8))::UBIGINT % {_SHARDS_N}
+             ORDER BY h
+           ) - 1 AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def shuffle_shard_manifest(sf_dir: str, n_shards: int = _SHARDS_N):
+    """Deterministic global-shuffle shard manifest — the WRITE-side step of
+    training-data preparation: every document gets a shard (md5-bucketed)
+    and a dense position within its shard in md5 order, i.e. a reproducible
+    pseudo-random global permutation with NO RNG state (retry-safe, same
+    keying idiom as the Bernoulli/stratified samplers; replaces the
+    np.random permutation + np.array_split of preprocess-300hz.py:315-341).
+
+    A per-shard dense rank is a global sort in disguise, so it runs as a
+    DISTRIBUTED PREFIX SCAN (the ``pack_sequences`` pattern) instead of a
+    driver-side sort: the md5 key's top byte is an order-preserving range
+    (256 ranges); per-(range, shard) counts are one tiny aggregate
+    (≤ 2048 rows ship), the driver exclusive-scans that bounded grid, and
+    one bucket-spine pass rebases block-local ranks by the broadcast
+    offsets.  No stage ever materializes the manifest on the driver."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        hi = np.array([int(h[:16], 16) for h in hs], dtype=np.uint64)
+        lo = np.array([int(h[16:], 16) for h in hs], dtype=np.uint64)
+        shard = ((hi >> np.uint64(32)) % np.uint64(n_shards)).astype(np.int64)
+        rng = (hi >> np.uint64(56)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "shard": pa.array(shard), "rng": pa.array(rng),
+            "hi": pa.array(hi), "lo": pa.array(lo),
+        })
+
+    kds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    # tiny exchange: per-(range, shard) counts → driver exclusive scan over
+    # the bounded 256×n_shards grid → broadcast offset matrix
+    def grid_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["rng", "shard"]).aggregate([("doc_id", "count")])
+        return pa.table({"cell": pc.add(pc.multiply(g.column("rng"), _SHARDS_N),
+                                        g.column("shard")).cast(pa.int64()),
+                         "n_part": g.column("doc_id_count").cast(pa.int64())})
+
+    grid = kds.map_batches(grid_partials, batch_format="pyarrow", zero_copy_batch=True) \
+              .groupby("cell").sum("n_part").take_all()
+    counts = np.zeros((_SHARD_RNG, n_shards), dtype=np.int64)
+    for r in grid:
+        rg, sh = divmod(int(r["cell"]), n_shards)
+        counts[rg, sh] = int(r["sum(n_part)"])
+    offs = np.cumsum(counts, axis=0) - counts  # exclusive scan per shard
+    oref = ray.put(offs)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "shard": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        # sorted by (rng, shard, hi, lo); rng is the md5 top byte, so this
+        # IS md5-lexicographic order within each (rng, shard) run
+        rngv = np.asarray(tbl.column("rng").combine_chunks())
+        shard = np.asarray(tbl.column("shard").combine_chunks())
+        key2 = rngv * n_shards + shard
+        new = np.r_[True, key2[1:] != key2[:-1]]
+        runstart = np.flatnonzero(new)
+        local = np.arange(tbl.num_rows) - runstart[np.cumsum(new) - 1]
+        pos = local + ray.get(oref)[rngv, shard]
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "shard": pa.array(shard.astype(np.int64)),
+            "pos": pa.array(pos.astype(np.int64)),
+        })
+
+    return grouped_sorted_apply(kds, "rng", ["shard", "hi", "lo"], per_bucket, NB)
+
+
+_PQ_M = 4
+_PQ_K = 16
+_PQ_EXPECTED = "/tmp/efr_pq_expected.parquet"
+
+
+def refresh_pq_expected(sf_dir: str, m: int = _PQ_M, k: int = _PQ_K,
+                        iters: int = _KM_ITERS) -> str:
+    """(Re)build the independent PQ oracle parquet — same config-hashed
+    cache + atomic copy-to-static-path contract as
+    :func:`refresh_kmeans_expected` (the registered SQL string is fixed at
+    registration so it cannot embed sf_dir; bench refreshes this untimed)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    tag = _hl.md5(f"{os.path.abspath(sf_dir)}|{m}|{k}|{iters}|{_KM_SCALE}".encode()) \
+             .hexdigest()[:12]
+    cached = f"/tmp/efr_pq_expected_{tag}.parquet"
+    if not os.path.exists(cached):
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from tests.oracle import oracle_pq
+
+        exp = oracle_pq(sf_dir, m=m, k=k, iters=iters, scale=_KM_SCALE)
+        _pq.write_table(pa.Table.from_pandas(exp, preserve_index=False), cached + ".tmp")
+        os.replace(cached + ".tmp", cached)
+    _sh.copyfile(cached, _PQ_EXPECTED + ".tmp")
+    os.replace(_PQ_EXPECTED + ".tmp", _PQ_EXPECTED)
+    return cached
+
+
+@register(
+    "pq_codes",
+    f"SELECT * FROM read_parquet('{_PQ_EXPECTED}')",
+)
+def pq_codes(sf_dir: str, m: int = _PQ_M, k: int = _PQ_K, iters: int = _KM_ITERS):
+    """Product quantization of the embedding column — the vector-compression
+    step of a 100-TB ANN index (Jégou et al., PQ: split each vector into
+    ``m`` subspaces, k-means each subspace, store one byte-ish code per
+    subspace; 64 float32 dims → 4 codes).  Each subspace codebook trains
+    with the SHARED exact fixed-point Lloyd trainer (``_lloyd_centroids``,
+    also the k-means/IVF core) over a pruned subvector projection, so the
+    whole operator inherits the bounded-exchange scaling story: per pass,
+    ≤ k×(d/m+1) sufficient-statistic rows per batch, one tiny groupby, and
+    the m×k×(d/m) codebook broadcast back via ``ray.put``.  Assignment is
+    one streaming pass; ties break toward the lower code (np.argmin).  At
+    100 TB the trainer runs on a sample — here it sees every vector, which
+    keeps the oracle twin (tests/oracle.oracle_pq) exact."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    d = len(ds.take(1)[0]["embedding"])
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+
+    def slicer(mi: int):
+        def cut(batch: pa.Table) -> pa.Table:
+            X = _emb_f64(batch)[:, mi * dsub:(mi + 1) * dsub]
+            vals = pa.array(X.reshape(-1).astype(np.float32), pa.float32())
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "embedding": pa.FixedSizeListArray.from_arrays(vals, dsub),
+            })
+        return cut
+
+    codebook = np.stack([
+        _lloyd_centroids(
+            ds.map_batches(slicer(mi), batch_format="pyarrow", zero_copy_batch=True),
+            k, iters,
+        )
+        for mi in range(m)
+    ])  # (m, k, d/m)
+    cref = ray.put(codebook)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cref)
+        X = _emb_f64(batch)
+        cols = {"vec_id": batch.column("vec_id")}
+        tot = np.zeros(batch.num_rows, dtype=np.float64)
+        for mi in range(m):
+            Xs = X[:, mi * dsub:(mi + 1) * dsub]
+            d2 = ((Xs[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            cols[f"code_{mi}"] = pa.array(a.astype(np.int64), pa.int64())
+            tot += d2[np.arange(len(Xs)), a]
+        cols["recon_err"] = pa.array(rnd(tot), pa.float64())
+        return pa.table(cols)
+
+    # refresh the independent-oracle parquet for THIS input (config-hashed
+    # cache — repeat runs pay a file copy, not the oracle recompute)
+    refresh_pq_expected(sf_dir, m=m, k=k, iters=iters)
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

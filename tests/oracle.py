@@ -885,3 +885,44 @@ def oracle_knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4, k: int = 5,
         for rank, (nb, sv) in enumerate(zip(cand[top], r), 1):
             rows.append((int(qid), int(nb), float(sv), rank))
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim", "rank"])
+
+
+def oracle_pq(sf_dir: str, m: int = 4, k: int = 16, iters: int = 5,
+              scale: float = 2.0**20) -> pd.DataFrame:
+    """Independent single-threaded product-quantization twin of
+    queries.pq_codes: per subspace, the same exact fixed-point Lloyd
+    contract as ``_oracle_lloyd`` (init = vec_id < k, int64 sufficient
+    statistics, empty clusters keep their centroid), then argmin code
+    assignment (ties to the lower code) and the per-row reconstruction
+    error summed across subspaces in subspace order — the identical numpy
+    broadcast expressions the engine uses, so values match bit-for-bit
+    (the engine's float32 subvector round-trip is exact because the source
+    embeddings are float32)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl.column("vec_id").combine_chunks()), kind="stable")
+    vec_id = np.asarray(tbl.column("vec_id").combine_chunks())[order]
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )[order]
+    if not np.array_equal(vec_id[:k], np.arange(k)):
+        raise ValueError(f"oracle_pq expects vec_ids 0..{k - 1} present; got {vec_id[:k]}")
+    dsub = X.shape[1] // m
+    out = {"vec_id": vec_id.astype(np.int64)}
+    tot = np.zeros(len(X), dtype=np.float64)
+    for mi in range(m):
+        Xs = X[:, mi * dsub:(mi + 1) * dsub].copy()
+        Q = np.rint(Xs * scale).astype(np.int64)
+        C = Xs[np.searchsorted(vec_id, np.arange(k))].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                mm = assign == j
+                if mm.any():
+                    C[j] = Q[mm].sum(axis=0, dtype=np.int64) / (mm.sum() * scale)
+        d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        out[f"code_{mi}"] = a.astype(np.int64)
+        tot += d2[np.arange(len(Xs)), a]
+    out["recon_err"] = np.copysign(np.floor(np.abs(tot) * 1e6 + 0.5) / 1e6, tot)
+    return pd.DataFrame(out)
