@@ -6306,23 +6306,63 @@ def pq_codes(sf_dir: str, m: int = _PQ_M, k: int = _PQ_K, iters: int = _KM_ITERS
         raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
     dsub = d // m
 
-    def slicer(mi: int):
-        def cut(batch: pa.Table) -> pa.Table:
-            X = _emb_f64(batch)[:, mi * dsub:(mi + 1) * dsub]
-            vals = pa.array(X.reshape(-1).astype(np.float32), pa.float32())
-            return pa.table({
-                "vec_id": batch.column("vec_id"),
-                "embedding": pa.FixedSizeListArray.from_arrays(vals, dsub),
-            })
-        return cut
+    # All m codebooks train TOGETHER: one streaming pass per Lloyd iteration
+    # emits the fixed-point sufficient statistics of every subspace (key
+    # packs (subspace, cluster, dim+1); ≤ m×k×(d/m+1) rows per batch), one
+    # tiny groupby reduces — m× fewer Ray rounds than training subspaces
+    # sequentially, same exact math as _lloyd_centroids per subspace.
+    init = ds.filter(expr=f"vec_id < {k}").take_all()
+    if len(init) != k:  # fail-loud, same contract as _lloyd_centroids
+        raise ValueError(f"pq init expects vec_ids 0..{k - 1}; found {len(init)} rows")
+    init.sort(key=lambda r: r["vec_id"])
+    X0 = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in init])
+    codebook = np.stack([X0[:, mi * dsub:(mi + 1) * dsub].copy() for mi in range(m)])
 
-    codebook = np.stack([
-        _lloyd_centroids(
-            ds.map_batches(slicer(mi), batch_format="pyarrow", zero_copy_batch=True),
-            k, iters,
-        )
-        for mi in range(m)
-    ])  # (m, k, d/m)
+    slot_n = dsub + 1
+    for _ in range(iters):
+        cref = ray.put(codebook)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cb = ray.get(cref)
+            X = _emb_f64(batch)
+            keys, vals = [], []
+            for mi in range(m):
+                Xs = X[:, mi * dsub:(mi + 1) * dsub]
+                Q = np.rint(Xs * _KM_SCALE).astype(np.int64)
+                d2 = ((Xs[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                order = np.argsort(assign, kind="stable")
+                a_s = assign[order]
+                bounds = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+                clusters = a_s[bounds]
+                sums = np.add.reduceat(Q[order], bounds, axis=0)
+                cnts = np.diff(np.r_[bounds, len(a_s)])
+                nc = len(clusters)
+                base = mi * k * slot_n + np.repeat(clusters, slot_n) * slot_n
+                keys.append(base + np.tile(np.arange(slot_n), nc))
+                vals.append(np.concatenate(
+                    [np.concatenate(([c], sv)) for c, sv in zip(cnts, sums)]
+                ) if nc else np.array([], dtype=np.int64))
+            return pa.table({
+                "key": pa.array(np.concatenate(keys).astype(np.int64), pa.int64()),
+                "s": pa.array(np.concatenate(vals).astype(np.int64), pa.int64()),
+            })
+
+        stats = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True) \
+                  .groupby("key").sum("s").take_all()
+        sums = np.zeros((m, k, dsub), dtype=np.int64)
+        cnts = np.zeros((m, k), dtype=np.int64)
+        for r in stats:
+            mi, rest = divmod(int(r["key"]), k * slot_n)
+            cl, slot = divmod(rest, slot_n)
+            if slot == 0:
+                cnts[mi, cl] = r["sum(s)"]
+            else:
+                sums[mi, cl, slot - 1] = r["sum(s)"]
+        codebook = codebook.copy()
+        nz = cnts > 0
+        codebook[nz] = sums[nz] / (cnts[nz, None] * _KM_SCALE)
+
     cref = ray.put(codebook)
 
     def assign(batch: pa.Table) -> pa.Table:
