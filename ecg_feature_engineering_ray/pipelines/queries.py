@@ -6213,7 +6213,7 @@ def shuffle_shard_manifest(sf_dir: str, n_shards: int = _SHARDS_N):
     # the bounded 256×n_shards grid → broadcast offset matrix
     def grid_partials(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["rng", "shard"]).aggregate([("doc_id", "count")])
-        return pa.table({"cell": pc.add(pc.multiply(g.column("rng"), _SHARDS_N),
+        return pa.table({"cell": pc.add(pc.multiply(g.column("rng"), n_shards),
                                         g.column("shard")).cast(pa.int64()),
                          "n_part": g.column("doc_id_count").cast(pa.int64())})
 
